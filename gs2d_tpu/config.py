@@ -1,0 +1,106 @@
+"""Configuration for the TPU-native 2D Gaussian splatting framework.
+
+Every named constant of the reference implementation is captured here as a
+single frozen dataclass (the reference hardcodes them as #defines / literals):
+
+- ``splat_bounds`` / ``min_throughput``: reference main.cpp:7-8
+- Adam hyperparameters: reference main.cpp:136-137 (betas), main.cpp:154 (eps),
+  main.cpp:715 (learning rate)
+- init ranges: reference main.cpp:294-302
+- clamp constraints: reference main.cpp:741-749
+- default splat count: reference main.cpp:271
+- opacity optimization off by default: reference main.cpp:317, 735
+
+The config is a pytree-free static object: it is hashable so it can be passed
+as a static argument to ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SplatConfig:
+    """Static hyperparameters of the 2D Gaussian splatting fitter."""
+
+    # --- image / workload -------------------------------------------------
+    width: int = 268
+    height: int = 213
+    n_splats: int = 1024  # reference main.cpp:271
+
+    # --- rasterization ----------------------------------------------------
+    # Mahalanobis cutoff in units of sigma (reference main.cpp:7).
+    splat_bounds: float = 3.0
+    # Front-to-back early-termination threshold on transmittance
+    # (reference main.cpp:8, 518-521).
+    min_throughput: float = 1.0 / 256.0
+    # Use the (1+x/8)^8 fast exp (reference main.cpp:49-83). Setting this to
+    # False switches to exact exp, the reference's own numerical-validation
+    # mode (main.cpp:51).
+    use_exp_approx: bool = True
+
+    # --- optimizer (reference-faithful Adam) ------------------------------
+    adam_beta1: float = 0.9   # reference main.cpp:136
+    adam_beta2: float = 0.99  # reference main.cpp:137
+    adam_eps: float = 1.0e-15  # reference main.cpp:154
+    learning_rate: float = 0.05  # reference main.cpp:715
+    optimize_opacity: bool = False  # reference main.cpp:317 (UI default)
+
+    # --- init ranges (reference main.cpp:294-302) -------------------------
+    init_scale_min: float = 6.0
+    init_scale_max: float = 10.0
+    init_color: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    init_opacity: float = 1.0
+
+    # --- clamp constraints (reference main.cpp:741-749) -------------------
+    scale_min: float = 1.0
+    scale_max: float = 1024.0
+    opacity_min: float = 0.1
+    opacity_max: float = 1.0
+
+    # --- production rasterizer (net-new, TPU tile pipeline) ---------------
+    tile_h: int = 8
+    tile_w: int = 128
+    # Per-tile splat list capacity for the binned Pallas path; None picks a
+    # heuristic from the workload at bin time.
+    max_splats_per_tile: Optional[int] = None
+    # How many splats each inner kernel step processes (vector-friendly).
+    splat_chunk: int = 256
+
+    @property
+    def image_shape(self) -> Tuple[int, int]:
+        return (self.height, self.width)
+
+    @property
+    def cutoff_sq(self) -> float:
+        return self.splat_bounds * self.splat_bounds
+
+    @property
+    def n_tiles_y(self) -> int:
+        return -(-self.height // self.tile_h)
+
+    @property
+    def n_tiles_x(self) -> int:
+        return -(-self.width // self.tile_w)
+
+    @property
+    def padded_height(self) -> int:
+        return self.n_tiles_y * self.tile_h
+
+    @property
+    def padded_width(self) -> int:
+        return self.n_tiles_x * self.tile_w
+
+    def replace(self, **kw) -> "SplatConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Flush-to-zero threshold of the fast exp: smallest y = 1 + x/8 whose cubed
+# squaring (y^8) is still normal; derived by bisection in the reference
+# (main.cpp:53-73) and hardcoded there (main.cpp:75).
+EXP_APPROX_FLUSH = 0.00001814586175896693021059036255
+
+PI = math.pi

@@ -1,0 +1,140 @@
+"""The fitting loop: jitted train step + host-side driver.
+
+One reference GUI frame == one optimization iteration (main.cpp:334-851):
+forward rasterize, analytic backward, Adam with constraints, NaN tripwire,
+MSE report. Here that iteration is a single jitted ``train_step`` that stays
+entirely on device; the host driver only reads back scalar metrics (and
+images when asked), replacing the reference's per-frame texture upload.
+
+The reference's NaN abort (main.cpp:752-785) becomes a recoverable on-device
+``all_finite`` flag returned from the step; the driver raises (or restores a
+checkpoint) instead of ``abort()``.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gs2d_tpu.config import SplatConfig
+from gs2d_tpu.ops import render_jax
+from gs2d_tpu.params import GaussianParams, init_params
+from gs2d_tpu.train.adam import AdamState, adam_update, init_adam_state
+from gs2d_tpu.train.metrics import mse_255, psnr_from_mse
+
+
+@struct.dataclass
+class TrainState:
+    """Everything the reference would need to resume a fit: splats, Adam
+    moments, bias powers, iteration count (main.cpp:271-278)."""
+
+    params: GaussianParams
+    opt: AdamState
+
+
+def init_train_state(cfg: SplatConfig) -> TrainState:
+    params = init_params(cfg)
+    return TrainState(params=params, opt=init_adam_state(params))
+
+
+class StepAux(NamedTuple):
+    mse: jax.Array        # 0-255-scale MSE of the pre-update render
+    psnr: jax.Array
+    all_finite: jax.Array  # NaN tripwire flag (recoverable main.cpp:752-785)
+
+
+RenderFn = Callable[[GaussianParams, SplatConfig], jax.Array]
+
+
+def make_train_step(cfg: SplatConfig, render_fn: Optional[RenderFn] = None):
+    """Build a jitted train step closed over the static config.
+
+    ``render_fn`` must be differentiable w.r.t. params (the default is the
+    scan renderer with the analytic custom VJP; the Pallas tile renderer plugs
+    in identically).
+    """
+    render = render_fn if render_fn is not None else render_jax.render
+
+    def loss_fn(params, ref):
+        color = render(params, cfg)
+        d = color - ref
+        # 0.5*sum(d^2) makes the per-pixel cotangent exactly C - ref, the
+        # reference's dL/dC (main.cpp:616).
+        return jnp.float32(0.5) * jnp.sum(d * d), color
+
+    @jax.jit
+    def train_step(state: TrainState, ref: jax.Array):
+        (_, color), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, ref
+        )
+        params, opt = adam_update(state.params, grads, state.opt, cfg)
+        finite = jnp.all(
+            jnp.array(
+                [jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree.leaves(params)]
+            )
+        )
+        mse = mse_255(color, ref)
+        return TrainState(params=params, opt=opt), StepAux(
+            mse=mse, psnr=psnr_from_mse(mse), all_finite=finite
+        )
+
+    return train_step
+
+
+def fit(
+    ref: jax.Array,
+    cfg: SplatConfig,
+    iterations: int,
+    render_fn: Optional[RenderFn] = None,
+    state: Optional[TrainState] = None,
+    log_every: int = 0,
+    log_fn=print,
+    checkpoint_every: int = 0,
+    checkpoint_fn=None,
+    raise_on_nonfinite: bool = True,
+):
+    """Host driver for the fitting loop (the reference's while-NextFrame loop,
+    main.cpp:334-851, minus the GUI).
+
+    Returns (state, history) where history is a list of per-logged-step dicts.
+    """
+    if state is None:
+        state = init_train_state(cfg)
+    step_fn = make_train_step(cfg, render_fn)
+    history = []
+    t0 = time.perf_counter()
+
+    def check_finite(aux, it):
+        # Reading the flag syncs the device, so only do it at log points --
+        # steps in between stay asynchronously pipelined.
+        if raise_on_nonfinite and not bool(aux.all_finite):
+            raise FloatingPointError(
+                f"non-finite splat parameters at iteration {it} "
+                "(reference aborts here, main.cpp:752-785)"
+            )
+
+    aux = None
+    for it in range(iterations):
+        state, aux = step_fn(state, ref)
+        if log_every and (it % log_every == 0 or it == iterations - 1):
+            check_finite(aux, it)
+            mse = float(aux.mse)
+            rec = {
+                "iter": it,
+                "mse": mse,
+                "psnr": float(aux.psnr),
+                "elapsed_s": time.perf_counter() - t0,
+            }
+            history.append(rec)
+            if log_fn:
+                log_fn(f"{it} itr, mse {mse:.4f}, psnr {rec['psnr']:.2f} dB")
+        if checkpoint_every and checkpoint_fn and (it + 1) % checkpoint_every == 0:
+            checkpoint_fn(state, it + 1)
+    if aux is not None:
+        check_finite(aux, iterations - 1)
+    jax.block_until_ready(state.params.pos)
+    return state, history
