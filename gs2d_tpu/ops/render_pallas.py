@@ -1,0 +1,369 @@
+"""Production rasterizer: fused Pallas tile kernels (forward + backward).
+
+TPU-first design (deliberately not the reference's loop structure):
+
+- The screen is cut into (tile_h, tile_w) pixel tiles; ``bin_splats``
+  (ops/tiles.py) gives each tile its index-ordered splat list with packed
+  per-splat scalars pre-gathered to a (n_tiles, N_FIELDS, K) array.
+- One Pallas grid step per tile. The Pallas pipeline double-buffers the
+  per-tile parameter block HBM->VMEM while the previous tile computes.
+- Inside the kernel a ``fori_loop`` walks the tile's splat list in index
+  order, evaluating coverage + alpha for the whole tile at once (VPU-shaped
+  (tile_h, tile_w) vector ops) and compositing front-to-back. The reference's
+  per-pixel early-out (T < 1/256, main.cpp:518-521) and truncated integer
+  bounds (main.cpp:490-508) are reproduced as masks, so results match the
+  sequential C++ loop allclose.
+- The backward kernel replays the composite per tile (the reference's
+  suffix-color trick, main.cpp:548-712) and reduces per-splat gradients over
+  the tile's pixels into a (n_tiles, 16, K) partial-gradient array; a single
+  scatter-add outside the kernel segments those back to the (N,) splat axis
+  -- the atomics-free TPU equivalent of the reference's dSplats accumulation.
+
+Gradient field packing in the backward output (sublane index):
+  0 gpx, 1 gpy, 2 gsx, 3 gsy, 4 grot, 5 gcr, 6 gcg, 7 gcb, 8 gop
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gs2d_tpu.config import EXP_APPROX_FLUSH, SplatConfig
+from gs2d_tpu.ops import tiles as tl
+from gs2d_tpu.params import GaussianParams
+
+# Gradient sublane indices in the backward kernel output.
+G_PX, G_PY, G_SX, G_SY, G_ROT, G_CR, G_CG, G_CB, G_OP = range(9)
+N_GRAD_FIELDS = 16  # padded for sublane alignment
+
+
+def _exp_term(x, use_approx: bool):
+    """exp(x) with the reference's fast approximation (main.cpp:49-83)."""
+    if not use_approx:
+        return jnp.exp(x)
+    x = jnp.float32(1.0) + x * jnp.float32(0.125)
+    flush = x < jnp.float32(EXP_APPROX_FLUSH)
+    x = x * x
+    x = x * x
+    x = x * x
+    return jnp.where(flush, jnp.float32(0.0), x)
+
+
+def _trunc_i32(x):
+    return jnp.trunc(x).astype(jnp.int32)
+
+
+def _splat_terms(params_ref, k, fx, fy, xx, yy, inside, T, cfg: SplatConfig):
+    """Shared per-splat coverage + alpha over the tile (both kernels).
+
+    Returns (live_mask, alpha, G, vx, vy, scalars dict)."""
+    f = lambda i: params_ref[0, i, k]
+    px, py = f(tl.FIELD_PX), f(tl.FIELD_PY)
+    a, b, d = f(tl.FIELD_A), f(tl.FIELD_B), f(tl.FIELD_D)
+    h = f(tl.FIELD_H)
+    op = f(tl.FIELD_OP)
+
+    vy = fy - py
+    vx = fx - px
+
+    # Row walk bounds: y in [trunc(py-h), trunc(py+h)] (main.cpp:490-492).
+    beg_y = _trunc_i32(py - h)
+    end_y = _trunc_i32(py + h)
+    row_ok = (yy >= beg_y) & (yy <= end_y)
+
+    # Exact per-row x interval from the ellipse quadratic
+    # (main.cpp:497-509, Form.pdf section 13).
+    qb = jnp.float32(2.0) * b * vy
+    qc = d * vy * vy - jnp.float32(cfg.cutoff_sq)
+    disc = qb * qb - jnp.float32(4.0) * a * qc
+    q_ok = disc >= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sgn = jnp.where(qb < 0.0, jnp.float32(-1.0), jnp.float32(1.0))
+    kq = (-qb - sgn * sq) * jnp.float32(0.5)
+    r0 = kq / a
+    r1 = qc / kq
+    beg_x = _trunc_i32(px + jnp.minimum(r0, r1))
+    end_x = _trunc_i32(px + jnp.maximum(r0, r1))
+    col_ok = (xx >= beg_x) & (xx <= end_x)
+
+    cover = row_ok & q_ok & col_ok & inside
+
+    d2 = a * vx * vx + jnp.float32(2.0) * b * vx * vy + d * vy * vy
+    G = _exp_term(jnp.float32(-0.5) * d2, cfg.use_exp_approx)
+    alpha = G * op
+    live = cover & (T >= jnp.float32(cfg.min_throughput))
+    return live, alpha, G, vx, vy, {
+        "a": a, "b": b, "d": d,
+        "cr": f(tl.FIELD_CR), "cg": f(tl.FIELD_CG), "cb": f(tl.FIELD_CB),
+        "sx": f(tl.FIELD_SX), "sy": f(tl.FIELD_SY),
+        "cosT": f(tl.FIELD_COS), "sinT": f(tl.FIELD_SIN),
+    }
+
+
+def _tile_coords(cfg: SplatConfig):
+    """Integer pixel coords + centers for the current grid tile."""
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    th, tw = cfg.tile_h, cfg.tile_w
+    yy = ti * th + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+    xx = tj * tw + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+    fy = yy.astype(jnp.float32) + jnp.float32(0.5)
+    fx = xx.astype(jnp.float32) + jnp.float32(0.5)
+    inside = (yy < cfg.height) & (xx < cfg.width)
+    return yy, xx, fy, fx, inside
+
+
+def _forward_kernel(count_ref, params_ref, color_ref, trans_ref, *, cfg: SplatConfig):
+    yy, xx, fy, fx, inside = _tile_coords(cfg)
+    th, tw = cfg.tile_h, cfg.tile_w
+    n_live = count_ref[pl.program_id(0) * cfg.n_tiles_x + pl.program_id(1)]
+
+    def body(k, carry):
+        cr_acc, cg_acc, cb_acc, T = carry
+        live, alpha, _, _, _, s = _splat_terms(
+            params_ref, k, fx, fy, xx, yy, inside, T, cfg)
+        w = jnp.where(live, T * alpha, jnp.float32(0.0))
+        cr_acc = cr_acc + w * s["cr"]
+        cg_acc = cg_acc + w * s["cg"]
+        cb_acc = cb_acc + w * s["cb"]
+        T = jnp.where(live, T * (jnp.float32(1.0) - alpha), T)
+        return cr_acc, cg_acc, cb_acc, T
+
+    zero = jnp.zeros((th, tw), jnp.float32)
+    cr_acc, cg_acc, cb_acc, T = jax.lax.fori_loop(
+        0, n_live, body, (zero, zero, zero, jnp.ones((th, tw), jnp.float32)))
+    color_ref[0, 0] = cr_acc
+    color_ref[0, 1] = cg_acc
+    color_ref[0, 2] = cb_acc
+    trans_ref[0] = T
+
+
+def _backward_kernel(count_ref, params_ref, fin_ref, gc_ref, grads_ref,
+                     *, cfg: SplatConfig):
+    yy, xx, fy, fx, inside = _tile_coords(cfg)
+    th, tw = cfg.tile_h, cfg.tile_w
+    n_live = count_ref[pl.program_id(0) * cfg.n_tiles_x + pl.program_id(1)]
+
+    fin_r = fin_ref[0, 0]
+    fin_g = fin_ref[0, 1]
+    fin_b = fin_ref[0, 2]
+    gc_r = gc_ref[0, 0]
+    gc_g = gc_ref[0, 1]
+    gc_b = gc_ref[0, 2]
+
+    n_k = grads_ref.shape[2]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_k), 1)
+
+    def body(k, carry):
+        cr_acc, cg_acc, cb_acc, T, gacc = carry
+        live, alpha, G, vx, vy, s = _splat_terms(
+            params_ref, k, fx, fy, xx, yy, inside, T, cfg)
+        mw = live.astype(jnp.float32)
+        # One-hot lane mask: Mosaic cannot store a scalar at a dynamic lane
+        # offset, so per-splat sums accumulate into (1, K) vectors instead.
+        oh = (lane == k).astype(jnp.float32)
+
+        # dL/dc = sum gC * alpha * T (main.cpp:617-620)
+        w_c = alpha * T * mw
+        gacc = dict(gacc)
+        gacc[G_CR] = gacc[G_CR] + oh * jnp.sum(gc_r * w_c)
+        gacc[G_CG] = gacc[G_CG] + oh * jnp.sum(gc_g * w_c)
+        gacc[G_CB] = gacc[G_CB] + oh * jnp.sum(gc_b * w_c)
+
+        # Replay composite; suffix color S = final - prefix (main.cpp:622-627).
+        w = jnp.where(live, T * alpha, jnp.float32(0.0))
+        cr_acc = cr_acc + w * s["cr"]
+        cg_acc = cg_acc + w * s["cg"]
+        cb_acc = cb_acc + w * s["cb"]
+
+        # (1 - alpha + 1e-15) guard, reassociation-proof (see render_jax).
+        inv1ma = jnp.float32(1.0) / jnp.where(
+            alpha >= jnp.float32(1.0), jnp.float32(1e-15),
+            jnp.float32(1.0) - alpha)
+        dL_da = (
+            gc_r * (s["cr"] * T - (fin_r - cr_acc) * inv1ma)
+            + gc_g * (s["cg"] * T - (fin_g - cg_acc) * inv1ma)
+            + gc_b * (s["cb"] * T - (fin_b - cb_acc) * inv1ma)
+        ) * mw
+
+        a, b, d = s["a"], s["b"], s["d"]
+        # d(alpha)/d(mu) (main.cpp:635-640); b == c in the symmetric inverse.
+        dal_dx = jnp.float32(0.5) * alpha * (jnp.float32(2.0) * a * vx + (b + b) * vy)
+        dal_dy = jnp.float32(0.5) * alpha * (jnp.float32(2.0) * d * vy + (b + b) * vx)
+        gacc[G_PX] = gacc[G_PX] + oh * jnp.sum(dL_da * dal_dx)
+        gacc[G_PY] = gacc[G_PY] + oh * jnp.sum(dL_da * dal_dy)
+
+        cosT, sinT = s["cosT"], s["sinT"]
+        sx, sy = s["sx"], s["sy"]
+        vxx = vx * vx
+        vxy = vx * vy
+        vyy = vy * vy
+        # d(alpha)/d(sx, sy) (main.cpp:657-662)
+        dal_dsx = alpha / (sx * sx * sx) * (
+            cosT * cosT * vxx + jnp.float32(2.0) * sinT * cosT * vxy
+            + sinT * sinT * vyy)
+        dal_dsy = alpha / (sy * sy * sy) * (
+            sinT * sinT * vxx - jnp.float32(2.0) * sinT * cosT * vxy
+            + cosT * cosT * vyy)
+        gacc[G_SX] = gacc[G_SX] + oh * jnp.sum(dL_da * dal_dsx)
+        gacc[G_SY] = gacc[G_SY] + oh * jnp.sum(dL_da * dal_dsy)
+
+        # d(alpha)/d(theta) (main.cpp:680-683)
+        dal_dth = alpha * (sx * sx - sy * sy) / (sx * sx * sy * sy) * (
+            (cosT * cosT - sinT * sinT) * vxy - sinT * cosT * (vxx - vyy))
+        gacc[G_ROT] = gacc[G_ROT] + oh * jnp.sum(dL_da * dal_dth)
+
+        # d(alpha)/d(opacity) = G (main.cpp:703)
+        gacc[G_OP] = gacc[G_OP] + oh * jnp.sum(dL_da * G)
+
+        T = jnp.where(live, T * (jnp.float32(1.0) - alpha), T)
+        return cr_acc, cg_acc, cb_acc, T, gacc
+
+    zero = jnp.zeros((th, tw), jnp.float32)
+    zk = jnp.zeros((1, n_k), jnp.float32)
+    gacc0 = {i: zk for i in range(9)}
+    *_, gacc = jax.lax.fori_loop(
+        0, n_live, body,
+        (zero, zero, zero, jnp.ones((th, tw), jnp.float32), gacc0))
+    out = jnp.concatenate(
+        [gacc[i] for i in range(9)] + [zk] * (N_GRAD_FIELDS - 9), axis=0)
+    grads_ref[0] = out
+
+
+def _should_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def forward_tiled(
+    binning: tl.TileBinning, cfg: SplatConfig, interpret: bool | None = None
+) -> Tuple[jax.Array, jax.Array]:
+    """Rasterize from a tile binning. Returns (color (H,W,3), T (H,W))."""
+    if interpret is None:
+        interpret = _should_interpret()
+    k = binning.ids.shape[1]
+    gy, gx = cfg.n_tiles_y, cfg.n_tiles_x
+    n_tiles = gy * gx
+    th, tw = cfg.tile_h, cfg.tile_w
+
+    color, trans = pl.pallas_call(
+        functools.partial(_forward_kernel, cfg=cfg),
+        grid=(gy, gx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tl.N_FIELDS, k), lambda i, j, gx=gx: (i * gx + j, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, th, tw), lambda i, j: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 3, cfg.padded_height, cfg.padded_width),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((1, cfg.padded_height, cfg.padded_width),
+                                 jnp.float32),
+        ],
+        interpret=interpret,
+    )(binning.count, binning.tile_params)
+
+    color = jnp.transpose(color[0], (1, 2, 0))[: cfg.height, : cfg.width]
+    return color, trans[0, : cfg.height, : cfg.width]
+
+
+def backward_tiled(
+    binning: tl.TileBinning,
+    final_color: jax.Array,
+    g_color: jax.Array,
+    n_splats: int,
+    cfg: SplatConfig,
+    interpret: bool | None = None,
+) -> GaussianParams:
+    """Analytic parameter gradients from a tile binning + upstream cotangent."""
+    if interpret is None:
+        interpret = _should_interpret()
+    k = binning.ids.shape[1]
+    gy, gx = cfg.n_tiles_y, cfg.n_tiles_x
+    n_tiles = gy * gx
+    th, tw = cfg.tile_h, cfg.tile_w
+    hp, wp = cfg.padded_height, cfg.padded_width
+
+    def pad_chw(img):
+        out = jnp.zeros((1, 3, hp, wp), jnp.float32)
+        return out.at[0, :, : cfg.height, : cfg.width].set(
+            jnp.transpose(img, (2, 0, 1)))
+
+    fin = pad_chw(final_color)
+    gc = pad_chw(g_color)
+
+    partial = pl.pallas_call(
+        functools.partial(_backward_kernel, cfg=cfg),
+        grid=(gy, gx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tl.N_FIELDS, k), lambda i, j, gx=gx: (i * gx + j, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, th, tw), lambda i, j: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, th, tw), lambda i, j: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, N_GRAD_FIELDS, k), lambda i, j, gx=gx: (i * gx + j, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, N_GRAD_FIELDS, k), jnp.float32),
+        interpret=interpret,
+    )(binning.count, binning.tile_params, fin, gc)
+
+    # Segment the per-tile partials back onto the splat axis (atomics-free:
+    # one scatter-add per field; padded ids are -1 and dropped).
+    flat_ids = binning.ids.reshape(-1)
+
+    def seg(field):
+        vals = partial[:, field, :].reshape(-1)
+        return jnp.zeros((n_splats,), jnp.float32).at[flat_ids].add(
+            vals, mode="drop")
+
+    g_pos = jnp.stack([seg(G_PX), seg(G_PY)], axis=-1)
+    g_col = jnp.stack([seg(G_CR), seg(G_CG), seg(G_CB)], axis=-1)
+    return GaussianParams(
+        pos=g_pos, sx=seg(G_SX), sy=seg(G_SY), rot=seg(G_ROT),
+        color=g_col, opacity=seg(G_OP),
+    )
+
+
+def _max_per_tile(cfg: SplatConfig) -> int:
+    if cfg.max_splats_per_tile is not None:
+        return cfg.max_splats_per_tile
+    # Heuristic: whole population if small, else a generous cap.
+    return min(max(256, cfg.n_splats // 4), 4096)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def render(params: GaussianParams, cfg: SplatConfig) -> jax.Array:
+    """Tile-pipeline rasterization, differentiable via the analytic backward.
+
+    Drop-in replacement for render_jax.render (same custom-VJP contract)."""
+    binning = tl.bin_splats(params, cfg, _max_per_tile(cfg))
+    return forward_tiled(binning, cfg)[0]
+
+
+def _render_fwd(params, cfg):
+    binning = tl.bin_splats(params, cfg, _max_per_tile(cfg))
+    color, _ = forward_tiled(binning, cfg)
+    return color, (params, binning, color)
+
+
+def _render_bwd(cfg, res, g_color):
+    params, binning, color = res
+    grads = backward_tiled(binning, color, g_color, params.pos.shape[0], cfg)
+    return (grads,)
+
+
+render.defvjp(_render_fwd, _render_bwd)

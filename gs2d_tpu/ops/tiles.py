@@ -1,0 +1,202 @@
+"""Tile binning: map each screen tile to its index-ordered splat list.
+
+The reference is splat-major scatter (each splat walks its own footprint,
+main.cpp:419-537). The TPU production path inverts this: the screen is cut
+into (tile_h x 128)-pixel tiles and each tile gathers the splats whose
+conservative bounding box (Form.pdf section 12) intersects it, preserving
+splat *index order* (the compositing order contract, Form.pdf p2).
+
+Binning is the standard sort-based pipeline, fully static-shaped for XLA:
+
+ 1. per splat: clamped tile-space bbox from the exact covariance bbox
+    half-extents (sqrt(s22), sqrt(s11) scaled by 3 -- main.cpp:488-489)
+ 2. duplicate (splat, tile) pairs into a flat buffer at cumsum offsets
+ 3. stable-sort by tile id (duplicates were laid out in splat order, so
+    equal tiles keep index order)
+ 4. slice each tile's run into a padded (n_tiles, K) id matrix
+
+Capacity caps (duplicate buffer, per-tile K) are static; overflow is counted
+and reported, never silently dropped (returned in BinStats).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gs2d_tpu.config import SplatConfig
+from gs2d_tpu.ops import geometry
+from gs2d_tpu.ops.numerics import trunc_to_int
+from gs2d_tpu.params import GaussianParams
+
+# Field order in the packed per-splat parameter matrix consumed by the Pallas
+# kernels. 16 fields so a (16, K) block lays out on clean sublanes.
+FIELD_PX = 0
+FIELD_PY = 1
+FIELD_A = 2      # inv_cov[0][0]
+FIELD_B = 3      # inv_cov[1][0] (== [0][1])
+FIELD_D = 4      # inv_cov[1][1]
+FIELD_H = 5      # bbox half-height * bounds (row walk extent)
+FIELD_CR = 6
+FIELD_CG = 7
+FIELD_CB = 8
+FIELD_OP = 9
+FIELD_SX = 10
+FIELD_SY = 11
+FIELD_COS = 12
+FIELD_SIN = 13
+FIELD_VALID = 14
+N_FIELDS = 16
+
+
+class TileBinning(NamedTuple):
+    """Static-shaped binning of splats onto screen tiles."""
+
+    ids: jax.Array          # (n_tiles, K) int32 splat ids, -1 padding
+    tile_params: jax.Array  # (n_tiles, N_FIELDS, K) f32 packed params
+    count: jax.Array        # (n_tiles,) int32 live entries per tile
+    n_dropped: jax.Array    # scalar int32: entries lost to capacity caps
+
+
+def packed_fields(p: GaussianParams) -> jax.Array:
+    """(N_FIELDS, N) packed per-splat scalars shared by fwd/bwd kernels."""
+    s11, s12, s22 = geometry.cov_of(p.sx, p.sy, p.rot)
+    a, b, d, det = geometry.inv_cov_of(s11, s12, s22)
+    h = geometry.bbox_half_height(a, det, 3.0)
+    n = p.pos.shape[0]
+    f = jnp.zeros((N_FIELDS, n), jnp.float32)
+    f = f.at[FIELD_PX].set(p.pos[:, 0])
+    f = f.at[FIELD_PY].set(p.pos[:, 1])
+    f = f.at[FIELD_A].set(a)
+    f = f.at[FIELD_B].set(b)
+    f = f.at[FIELD_D].set(d)
+    f = f.at[FIELD_H].set(h)
+    f = f.at[FIELD_CR].set(p.color[:, 0])
+    f = f.at[FIELD_CG].set(p.color[:, 1])
+    f = f.at[FIELD_CB].set(p.color[:, 2])
+    f = f.at[FIELD_OP].set(p.opacity)
+    f = f.at[FIELD_SX].set(p.sx)
+    f = f.at[FIELD_SY].set(p.sy)
+    f = f.at[FIELD_COS].set(jnp.cos(p.rot))
+    f = f.at[FIELD_SIN].set(jnp.sin(p.rot))
+    f = f.at[FIELD_VALID].set(1.0)
+    return f
+
+
+def splat_tile_bbox(p: GaussianParams, cfg: SplatConfig):
+    """Per-splat tile-index bbox (tx0, tx1, ty0, ty1), clamped to the grid.
+
+    Uses the exact covariance bbox half-extents in x and y
+    (main.cpp:488-489): hx = sqrt(inv_cov[1][1]*det)*3, hy likewise. The row
+    walk in the kernel re-applies the exact truncated bounds, so the tile
+    bbox only needs to be conservative.
+    """
+    s11, s12, s22 = geometry.cov_of(p.sx, p.sy, p.rot)
+    a, b, d, det = geometry.inv_cov_of(s11, s12, s22)
+    hy = geometry.bbox_half_height(a, det, cfg.splat_bounds)
+    hx = geometry.bbox_half_width(d, det, cfg.splat_bounds)
+    px, py = p.pos[:, 0], p.pos[:, 1]
+    # Pixel bounds use the same trunc semantics as the rasterizer loops.
+    x0 = trunc_to_int(px - hx)
+    x1 = trunc_to_int(px + hx)
+    y0 = trunc_to_int(py - hy)
+    y1 = trunc_to_int(py + hy)
+    tx0 = jnp.clip(x0 // cfg.tile_w, 0, cfg.n_tiles_x - 1)
+    tx1 = jnp.clip(x1 // cfg.tile_w, 0, cfg.n_tiles_x - 1)
+    ty0 = jnp.clip(y0 // cfg.tile_h, 0, cfg.n_tiles_y - 1)
+    ty1 = jnp.clip(y1 // cfg.tile_h, 0, cfg.n_tiles_y - 1)
+    # Fully off-screen splats contribute zero tiles.
+    offscreen = (x1 < 0) | (x0 >= cfg.width) | (y1 < 0) | (y0 >= cfg.height)
+    return tx0, tx1, ty0, ty1, offscreen
+
+
+def bin_splats(
+    p: GaussianParams,
+    cfg: SplatConfig,
+    max_per_tile: int,
+    dup_capacity: int | None = None,
+    max_tiles_per_splat: int = 256,
+) -> TileBinning:
+    """Build the per-tile splat lists (index order preserved within a tile).
+
+    max_tiles_per_splat caps the duplicate expansion per splat (a splat
+    covering more tiles gets its bbox truncated; counted in n_dropped).
+    """
+    n = p.pos.shape[0]
+    n_tiles = cfg.n_tiles_y * cfg.n_tiles_x
+    if dup_capacity is None:
+        # A sigma~8 splat at 3 sigma spans ~7 rows of 8-px tiles; be generous
+        # by default (overflow is counted in n_dropped, never silent).
+        dup_capacity = max(16 * n, 4096)
+
+    tx0, tx1, ty0, ty1, offscreen = splat_tile_bbox(p, cfg)
+    w_t = tx1 - tx0 + 1
+    h_t = ty1 - ty0 + 1
+    count_full = jnp.where(offscreen, 0, w_t * h_t)
+    count = jnp.minimum(count_full, max_tiles_per_splat)
+    dropped_bbox = jnp.sum(count_full - count)
+
+    # Offsets of each splat's duplicate run (splat-order layout -> stable
+    # sort keeps index order within a tile).
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(count, dtype=jnp.int32)])
+    total = offsets[-1]
+    dropped_cap = jnp.maximum(total - dup_capacity, 0)
+
+    # Expand: for duplicate slot j of splat i, tile = linear index over the
+    # splat's tile bbox. Scatter (tile_id, splat_id) into the flat buffer.
+    slot = jnp.arange(max_tiles_per_splat, dtype=jnp.int32)
+    # (N, max_tiles_per_splat) local tile coordinates within each bbox.
+    local_y = slot[None, :] // jnp.maximum(w_t, 1)[:, None]
+    local_x = slot[None, :] % jnp.maximum(w_t, 1)[:, None]
+    tile_id = ((ty0[:, None] + local_y) * cfg.n_tiles_x
+               + tx0[:, None] + local_x).astype(jnp.int32)
+    live = slot[None, :] < count[:, None]
+    dest = offsets[:-1][:, None] + slot[None, :]
+    dest = jnp.where(live & (dest < dup_capacity), dest, dup_capacity)
+
+    pair_tile = jnp.full((dup_capacity + 1,), jnp.int32(0x7FFFFFFF))
+    pair_splat = jnp.full((dup_capacity + 1,), jnp.int32(-1))
+    pair_tile = pair_tile.at[dest.reshape(-1)].set(
+        jnp.where(live, tile_id, 0x7FFFFFFF).reshape(-1), mode="drop")
+    pair_splat = pair_splat.at[dest.reshape(-1)].set(
+        jnp.where(live, jnp.arange(n, dtype=jnp.int32)[:, None]
+                  * jnp.ones_like(slot)[None, :], -1).reshape(-1), mode="drop")
+    pair_tile = pair_tile[:dup_capacity]
+    pair_splat = pair_splat[:dup_capacity]
+
+    # Stable sort by tile id; equal tiles keep splat order.
+    order = jnp.argsort(pair_tile, stable=True)
+    sorted_tile = pair_tile[order]
+    sorted_splat = pair_splat[order]
+
+    # Per-tile run start and length.
+    starts = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32),
+                              side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32),
+                            side="right").astype(jnp.int32)
+    tile_count_full = ends - starts
+    tile_count = jnp.minimum(tile_count_full, max_per_tile)
+    dropped_tile = jnp.sum(tile_count_full - tile_count)
+
+    # Gather each tile's run into the padded (n_tiles, K) matrix.
+    k = jnp.arange(max_per_tile, dtype=jnp.int32)
+    gidx = starts[:, None] + k[None, :]
+    valid = k[None, :] < tile_count[:, None]
+    gidx = jnp.where(valid, gidx, 0)
+    ids = jnp.where(valid, sorted_splat[gidx], -1)
+
+    fields = packed_fields(p)  # (F, N)
+    safe_ids = jnp.where(ids >= 0, ids, 0)
+    tp = fields[:, safe_ids]                      # (F, n_tiles, K)
+    tp = jnp.where(valid[None, :, :], tp, 0.0)    # zero padding (opacity 0)
+    tile_params = jnp.transpose(tp, (1, 0, 2))    # (n_tiles, F, K)
+
+    return TileBinning(
+        ids=ids,
+        tile_params=tile_params,
+        count=tile_count,
+        n_dropped=(dropped_bbox + dropped_cap + dropped_tile).astype(jnp.int32),
+    )

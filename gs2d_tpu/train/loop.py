@@ -13,6 +13,7 @@ checkpoint) instead of ``abort()``.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Callable, NamedTuple, Optional
 
@@ -83,6 +84,52 @@ def make_train_step(cfg: SplatConfig, render_fn: Optional[RenderFn] = None):
         )
 
     return train_step
+
+
+def make_fit_scan(cfg: SplatConfig, render_fn: Optional[RenderFn] = None,
+                  unroll: int = 1):
+    """Build a jitted multi-iteration fitter: ``lax.scan`` over train steps.
+
+    One device program executes ``n_iters`` full iterations without host
+    round-trips -- the right shape for a remote/tunneled TPU where per-call
+    latency dwarfs compute (and for production fitting generally). Returns
+    ``fit_k(state, ref, n_iters)`` with ``n_iters`` static; outputs the final
+    state plus per-iteration (mse, psnr, all_finite) histories.
+    """
+    render = render_fn if render_fn is not None else render_jax.render
+
+    def loss_fn(params, ref):
+        color = render(params, cfg)
+        d = color - ref
+        return jnp.float32(0.5) * jnp.sum(d * d), color
+
+    def one_step(state: TrainState, ref):
+        (_, color), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, ref
+        )
+        params, opt = adam_update(state.params, grads, state.opt, cfg)
+        finite = jnp.all(
+            jnp.array(
+                [jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree.leaves(params)]
+            )
+        )
+        mse = mse_255(color, ref)
+        return TrainState(params=params, opt=opt), StepAux(
+            mse=mse, psnr=psnr_from_mse(mse), all_finite=finite
+        )
+
+    @functools.partial(jax.jit, static_argnames=("n_iters",))
+    def fit_k(state: TrainState, ref: jax.Array, n_iters: int):
+        def body(carry, _):
+            new_state, aux = one_step(carry, ref)
+            return new_state, aux
+
+        state, auxes = jax.lax.scan(
+            body, state, None, length=n_iters, unroll=unroll
+        )
+        return state, auxes
+
+    return fit_k
 
 
 def fit(

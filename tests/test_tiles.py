@@ -1,0 +1,115 @@
+"""Tile binning invariants and Pallas-path parity (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gs2d_tpu.config import SplatConfig
+from gs2d_tpu.ops import render_pallas as rp
+from gs2d_tpu.ops import tiles as tl
+from gs2d_tpu.ops.render_jax import render_backward, render_forward
+from tests.helpers import random_splats, to_params
+
+H, W = 48, 64
+
+
+def make_case(rng, n, **kw):
+    cfg = SplatConfig(width=W, height=H, n_splats=n)
+    s = random_splats(rng, n, W, H, **kw)
+    return cfg, s, to_params(s)
+
+
+class TestBinning:
+    def test_ids_sorted_and_in_order(self, rng):
+        cfg, s, p = make_case(rng, 96)
+        b = tl.bin_splats(p, cfg, 96)
+        ids = np.asarray(b.ids)
+        count = np.asarray(b.count)
+        assert int(b.n_dropped) == 0
+        for t in range(ids.shape[0]):
+            live = ids[t, : count[t]]
+            # index order within a tile is strictly increasing (no dups)
+            assert (np.diff(live) > 0).all() if len(live) > 1 else True
+            assert (ids[t, count[t]:] == -1).all()
+
+    def test_covers_all_contributing_splats(self, rng):
+        """Every splat covering a pixel (per the exact reference bounds) must
+        appear in that pixel's tile list."""
+        cfg, s, p = make_case(rng, 64)
+        b = tl.bin_splats(p, cfg, 64)
+        ids = np.asarray(b.ids)
+        count = np.asarray(b.count)
+        # brute force: coverage from the scan renderer internals
+        from gs2d_tpu.ops.render_jax import _coverage, _splat_scalars
+        scal = _splat_scalars(p)
+        for i in range(p.pos.shape[0]):
+            si = {k: v[i] for k, v in scal.items()}
+            mask = np.asarray(_coverage(si["px"], si["py"], si["a"], si["b"],
+                                        si["d"], si["h"], cfg)[0])
+            ys, xs = np.nonzero(mask)
+            tiles_needed = set(zip(ys // cfg.tile_h, xs // cfg.tile_w))
+            for ty, tx in tiles_needed:
+                t = ty * cfg.n_tiles_x + tx
+                assert i in ids[t, : count[t]], (i, ty, tx)
+
+    def test_capacity_overflow_reported(self, rng):
+        cfg, s, p = make_case(rng, 64)
+        s.pos[:] = np.float32([W / 2, H / 2])  # all splats on one tile stack
+        p = to_params(s)
+        b = tl.bin_splats(p, cfg, max_per_tile=8)
+        assert int(b.n_dropped) > 0
+
+    def test_offscreen_excluded(self, rng):
+        cfg, s, p = make_case(rng, 32)
+        s.pos[:, 0] += 10000.0
+        b = tl.bin_splats(to_params(s), cfg, 32)
+        assert int(b.count.sum()) == 0
+
+
+class TestPallasForward:
+    @pytest.mark.parametrize("n", [1, 64, 192])
+    def test_matches_scan_renderer(self, rng, n):
+        cfg, s, p = make_case(rng, n)
+        b = tl.bin_splats(p, cfg, max(n, 8))
+        C1, T1 = render_forward(p, cfg)
+        C2, T2 = rp.forward_tiled(b, cfg)
+        np.testing.assert_allclose(np.asarray(C2), np.asarray(C1), atol=3e-7)
+        np.testing.assert_allclose(np.asarray(T2), np.asarray(T1), atol=3e-7)
+
+    def test_saturated(self, rng):
+        cfg, s, p = make_case(rng, 64, opacity_range=(0.95, 1.0))
+        s.pos[:] = np.float32([W / 2, H / 2]) + np.asarray(
+            rng.normal(0, 2.0, (64, 2)), np.float32)
+        p = to_params(s)
+        b = tl.bin_splats(p, cfg, 64)
+        C1, T1 = render_forward(p, cfg)
+        C2, T2 = rp.forward_tiled(b, cfg)
+        assert (np.asarray(T1) < 1 / 256).any()
+        np.testing.assert_allclose(np.asarray(C2), np.asarray(C1), atol=3e-7)
+
+
+class TestPallasBackward:
+    def test_matches_scan_backward(self, rng):
+        cfg, s, p = make_case(rng, 96)
+        b = tl.bin_splats(p, cfg, 96)
+        C, _ = rp.forward_tiled(b, cfg)
+        ref = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+        gC = C - ref
+        g1 = render_backward(p, C, gC, cfg)
+        g2 = rp.backward_tiled(b, C, gC, 96, cfg)
+        for f in ("pos", "sx", "sy", "rot", "color", "opacity"):
+            a, c = np.asarray(getattr(g1, f)), np.asarray(getattr(g2, f))
+            atol = 1e-4 * max(1.0, np.abs(a).max())
+            np.testing.assert_allclose(c, a, atol=atol, err_msg=f)
+
+    def test_custom_vjp_trains(self, rng):
+        """End-to-end: the Pallas render plugs into the train loop."""
+        from gs2d_tpu.io.image import synthetic_target
+        from gs2d_tpu.train.loop import fit
+
+        cfg = SplatConfig(width=W, height=H, n_splats=64)
+        ref = jnp.asarray(synthetic_target(H, W))
+        state, hist = fit(ref, cfg, iterations=30, render_fn=rp.render,
+                          log_every=10, log_fn=None)
+        assert hist[-1]["mse"] < hist[0]["mse"] * 0.8
