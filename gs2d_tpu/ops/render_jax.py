@@ -52,7 +52,7 @@ def _splat_scalars(p: GaussianParams):
     }
 
 
-def _coverage(px, py, a, b, d, h, cfg: SplatConfig):
+def _coverage(px, py, a, b, d, h, cfg: SplatConfig, y0=0, band_h=None):
     """Integer coverage mask of one splat over the padded pixel grid.
 
     Reproduces the reference's loop bounds exactly: rows y in
@@ -60,9 +60,14 @@ def _coverage(px, py, a, b, d, h, cfg: SplatConfig):
     x in [trunc(px+r0), trunc(px+r1)] from the ellipse quadratic
     (main.cpp:497-511, Form.pdf section 13). Returns (mask (H,W), vx (W,),
     vy (H,), alpha terms are computed by the caller).
+
+    ``y0``/``band_h`` select a horizontal band of rows [y0, y0+band_h) in
+    global coordinates -- the unit of tile-axis sharding (y0 may be traced,
+    e.g. axis_index * band_h inside shard_map).
     """
-    H, W = cfg.padded_height, cfg.padded_width
-    yi = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0)[:, 0]
+    H = cfg.padded_height if band_h is None else band_h
+    W = cfg.padded_width
+    yi = y0 + jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0)[:, 0]
     xi = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)[0, :]
 
     beg_y = trunc_to_int(py - h)
@@ -96,21 +101,31 @@ def _alpha_of(s, vx, vy, cfg: SplatConfig):
     return G, G * s["opacity"]
 
 
-def render_forward(
-    params: GaussianParams, cfg: SplatConfig
+def render_forward_band(
+    params: GaussianParams,
+    cfg: SplatConfig,
+    y0=0,
+    band_h: int | None = None,
+    carry_in: Tuple[jax.Array, jax.Array] | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Front-to-back composite over splats in index order.
+    """Front-to-back composite over splats in index order on a row band.
 
-    Returns (color (H, W, 3), transmittance (H, W)) on the *unpadded* image.
+    The band [y0, y0 + band_h) in global rows is the unit of tile-axis
+    sharding; ``carry_in`` is the incoming per-pixel (C, T) composite state
+    (the ordered-monoid partial from earlier splat shards). Returns the raw
+    padded band (C (band_h, Wp, 3), T (band_h, Wp)).
     """
     scal = _splat_scalars(params)
-    H, W = cfg.padded_height, cfg.padded_width
-    C0 = jnp.zeros((H, W, 3), jnp.float32)
-    T0 = jnp.ones((H, W), jnp.float32)
+    H = cfg.padded_height if band_h is None else band_h
+    W = cfg.padded_width
+    if carry_in is None:
+        carry_in = (jnp.zeros((H, W, 3), jnp.float32),
+                    jnp.ones((H, W), jnp.float32))
 
     def step(carry, s):
         C, T = carry
-        mask, vx, vy = _coverage(s["px"], s["py"], s["a"], s["b"], s["d"], s["h"], cfg)
+        mask, vx, vy = _coverage(s["px"], s["py"], s["a"], s["b"], s["d"],
+                                 s["h"], cfg, y0, band_h)
         _, alpha = _alpha_of(s, vx, vy, cfg)
         live = mask & (T >= jnp.float32(cfg.min_throughput))
         w = jnp.where(live, T * alpha, jnp.float32(0.0))
@@ -118,33 +133,49 @@ def render_forward(
         T = jnp.where(live, T * (jnp.float32(1.0) - alpha), T)
         return (C, T), None
 
-    (C, T), _ = jax.lax.scan(step, (C0, T0), scal)
+    (C, T), _ = jax.lax.scan(step, carry_in, scal)
+    return C, T
+
+
+def render_forward(
+    params: GaussianParams, cfg: SplatConfig
+) -> Tuple[jax.Array, jax.Array]:
+    """Front-to-back composite over splats in index order.
+
+    Returns (color (H, W, 3), transmittance (H, W)) on the *unpadded* image.
+    """
+    C, T = render_forward_band(params, cfg)
     return C[: cfg.height, : cfg.width], T[: cfg.height, : cfg.width]
 
 
-def render_backward(
-    params: GaussianParams, final_color: jax.Array, g_color: jax.Array,
+def render_backward_band(
+    params: GaussianParams,
+    fin: jax.Array,
+    gC: jax.Array,
     cfg: SplatConfig,
+    y0=0,
+    band_h: int | None = None,
+    carry_in: Tuple[jax.Array, jax.Array] | None = None,
 ) -> GaussianParams:
-    """Analytic VJP of ``render_forward`` w.r.t. the splat parameters.
+    """Analytic VJP on a row band with an incoming composite carry.
 
-    ``final_color`` is the forward output; ``g_color`` the upstream cotangent
-    dL/dC (for the reference's pure-L2 objective it is C - ref,
-    main.cpp:616). Implements the replay strategy of main.cpp:548-712: a
-    second index-ordered sweep re-accumulates the composite to recover each
-    splat's prefix transmittance T and suffix color S = C_final - C_prefix.
+    ``fin``/``gC`` are the band's final color and upstream cotangent on the
+    padded band grid; ``carry_in`` the (C, T) monoid partial entering this
+    splat shard (prefix of earlier shards). Implements the replay strategy of
+    main.cpp:548-712.
     """
     scal = _splat_scalars(params)
-    H, W = cfg.padded_height, cfg.padded_width
-    fin = jnp.zeros((H, W, 3), jnp.float32).at[: cfg.height, : cfg.width].set(final_color)
-    gC = jnp.zeros((H, W, 3), jnp.float32).at[: cfg.height, : cfg.width].set(g_color)
-
-    C0 = jnp.zeros((H, W, 3), jnp.float32)
-    T0 = jnp.ones((H, W), jnp.float32)
+    H = cfg.padded_height if band_h is None else band_h
+    W = cfg.padded_width
+    if carry_in is None:
+        carry_in = (jnp.zeros((H, W, 3), jnp.float32),
+                    jnp.ones((H, W), jnp.float32))
+    C0, T0 = carry_in
 
     def step(carry, s):
         C, T = carry
-        mask, vx, vy = _coverage(s["px"], s["py"], s["a"], s["b"], s["d"], s["h"], cfg)
+        mask, vx, vy = _coverage(s["px"], s["py"], s["a"], s["b"], s["d"],
+                                 s["h"], cfg, y0, band_h)
         G, alpha = _alpha_of(s, vx, vy, cfg)
         live = mask & (T >= jnp.float32(cfg.min_throughput))
         mw = live.astype(jnp.float32)
@@ -209,6 +240,23 @@ def render_backward(
     return GaussianParams(
         pos=g_pos, sx=g_sx, sy=g_sy, rot=g_rot, color=g_col, opacity=g_op
     )
+
+
+def render_backward(
+    params: GaussianParams, final_color: jax.Array, g_color: jax.Array,
+    cfg: SplatConfig,
+) -> GaussianParams:
+    """Analytic VJP of ``render_forward`` on the full image.
+
+    ``final_color`` is the forward output; ``g_color`` the upstream cotangent
+    dL/dC (for the reference's pure-L2 objective it is C - ref, main.cpp:616).
+    """
+    H, W = cfg.padded_height, cfg.padded_width
+    fin = jnp.zeros((H, W, 3), jnp.float32).at[: cfg.height, : cfg.width].set(
+        final_color)
+    gC = jnp.zeros((H, W, 3), jnp.float32).at[: cfg.height, : cfg.width].set(
+        g_color)
+    return render_backward_band(params, fin, gC, cfg)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))

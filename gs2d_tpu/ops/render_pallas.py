@@ -165,15 +165,12 @@ def _backward_kernel(count_ref, params_ref, fin_ref, gc_ref, grads_ref,
             params_ref, k, fx, fy, xx, yy, inside, T, cfg)
         mw = live.astype(jnp.float32)
         # One-hot lane mask: Mosaic cannot store a scalar at a dynamic lane
-        # offset, so per-splat sums accumulate into (1, K) vectors instead.
+        # offset, so per-splat sums accumulate into a (16, K) matrix via an
+        # outer product with this mask.
         oh = (lane == k).astype(jnp.float32)
 
-        # dL/dc = sum gC * alpha * T (main.cpp:617-620)
+        # dL/dc contributions (main.cpp:617-620)
         w_c = alpha * T * mw
-        gacc = dict(gacc)
-        gacc[G_CR] = gacc[G_CR] + oh * jnp.sum(gc_r * w_c)
-        gacc[G_CG] = gacc[G_CG] + oh * jnp.sum(gc_g * w_c)
-        gacc[G_CB] = gacc[G_CB] + oh * jnp.sum(gc_b * w_c)
 
         # Replay composite; suffix color S = final - prefix (main.cpp:622-627).
         w = jnp.where(live, T * alpha, jnp.float32(0.0))
@@ -195,8 +192,6 @@ def _backward_kernel(count_ref, params_ref, fin_ref, gc_ref, grads_ref,
         # d(alpha)/d(mu) (main.cpp:635-640); b == c in the symmetric inverse.
         dal_dx = jnp.float32(0.5) * alpha * (jnp.float32(2.0) * a * vx + (b + b) * vy)
         dal_dy = jnp.float32(0.5) * alpha * (jnp.float32(2.0) * d * vy + (b + b) * vx)
-        gacc[G_PX] = gacc[G_PX] + oh * jnp.sum(dL_da * dal_dx)
-        gacc[G_PY] = gacc[G_PY] + oh * jnp.sum(dL_da * dal_dy)
 
         cosT, sinT = s["cosT"], s["sinT"]
         sx, sy = s["sx"], s["sy"]
@@ -210,29 +205,35 @@ def _backward_kernel(count_ref, params_ref, fin_ref, gc_ref, grads_ref,
         dal_dsy = alpha / (sy * sy * sy) * (
             sinT * sinT * vxx - jnp.float32(2.0) * sinT * cosT * vxy
             + cosT * cosT * vyy)
-        gacc[G_SX] = gacc[G_SX] + oh * jnp.sum(dL_da * dal_dsx)
-        gacc[G_SY] = gacc[G_SY] + oh * jnp.sum(dL_da * dal_dsy)
-
         # d(alpha)/d(theta) (main.cpp:680-683)
         dal_dth = alpha * (sx * sx - sy * sy) / (sx * sx * sy * sy) * (
             (cosT * cosT - sinT * sinT) * vxy - sinT * cosT * (vxx - vyy))
-        gacc[G_ROT] = gacc[G_ROT] + oh * jnp.sum(dL_da * dal_dth)
 
-        # d(alpha)/d(opacity) = G (main.cpp:703)
-        gacc[G_OP] = gacc[G_OP] + oh * jnp.sum(dL_da * G)
+        # Nine tile-wide sums, batched: sublane-reduce each quantity to
+        # (1, tw), stack as sublanes, and do ONE cross-lane reduction for all
+        # of them (cross-lane reduces are the expensive part on the VPU).
+        qs = [
+            dL_da * dal_dx, dL_da * dal_dy,           # G_PX, G_PY
+            dL_da * dal_dsx, dL_da * dal_dsy,         # G_SX, G_SY
+            dL_da * dal_dth,                          # G_ROT
+            gc_r * w_c, gc_g * w_c, gc_b * w_c,       # G_CR..G_CB
+            dL_da * G,                                # G_OP (main.cpp:703)
+        ]
+        stacked = jnp.concatenate(
+            [jnp.sum(q, axis=0, keepdims=True) for q in qs], axis=0)  # (9, tw)
+        col = jnp.sum(stacked, axis=1, keepdims=True)                 # (9, 1)
+        gacc = gacc + col * oh                                        # (9, K)
 
         T = jnp.where(live, T * (jnp.float32(1.0) - alpha), T)
         return cr_acc, cg_acc, cb_acc, T, gacc
 
     zero = jnp.zeros((th, tw), jnp.float32)
-    zk = jnp.zeros((1, n_k), jnp.float32)
-    gacc0 = {i: zk for i in range(9)}
+    gacc0 = jnp.zeros((9, n_k), jnp.float32)
     *_, gacc = jax.lax.fori_loop(
         0, n_live, body,
         (zero, zero, zero, jnp.ones((th, tw), jnp.float32), gacc0))
-    out = jnp.concatenate(
-        [gacc[i] for i in range(9)] + [zk] * (N_GRAD_FIELDS - 9), axis=0)
-    grads_ref[0] = out
+    grads_ref[0] = jnp.concatenate(
+        [gacc, jnp.zeros((N_GRAD_FIELDS - 9, n_k), jnp.float32)], axis=0)
 
 
 def _should_interpret() -> bool:

@@ -1,0 +1,235 @@
+"""Sharded training: shard_map over a (data, tile, splat) mesh.
+
+Parallelization strategy (all net-new; the reference is single-thread):
+
+- **data axis**: independent images; each owns a full splat population.
+- **tile axis**: each device renders a horizontal band of rows. Forward is
+  embarrassingly parallel; per-splat gradients are partial sums over the
+  band's pixels and get ``psum``'d over this axis (the gradient all-reduce,
+  riding ICI).
+- **splat axis**: each device owns a contiguous, index-ordered slice of the
+  splat population plus its Adam state (tensor-parallel analog). Per-pixel
+  composite partials (C, T) combine exactly in index order with the ordered
+  monoid  combine((Ca,Ta),(Cb,Tb)) = (Ca + Ta*Cb, Ta*Tb)  -- Form.pdf
+  section 5's blend is associative over ordered segments. Implemented with
+  ``all_gather`` + an exclusive prefix fold (log-depth collective); the
+  prefix (C_in, T_in) entering each shard feeds the local backward replay.
+
+Early-out note: the reference's T < 1/256 skip (main.cpp:518-521) is a
+mid-chain predicate on the *global* running transmittance, which breaks
+associativity. When the splat axis is sharded (>1), rendering runs with the
+threshold disabled (min_throughput = 0): the composite is then exactly the
+associative monoid, single- and multi-shard results agree to fp rounding,
+and the deviation from the thresholded reference output is bounded by
+1/256 per channel. With one splat shard the reference semantics are kept
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gs2d_tpu.config import SplatConfig
+from gs2d_tpu.ops.render_jax import render_backward_band, render_forward_band
+from gs2d_tpu.params import GaussianParams
+from gs2d_tpu.parallel.mesh import DATA_AXIS, SPLAT_AXIS, TILE_AXIS
+from gs2d_tpu.train.adam import adam_update, init_adam_state
+from gs2d_tpu.train.loop import StepAux, TrainState, init_train_state
+from gs2d_tpu.train.metrics import psnr_from_mse
+
+try:  # jax >= 0.7 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def params_pspec() -> GaussianParams:
+    """PartitionSpecs for a batched (B, N, ...) GaussianParams pytree."""
+    return GaussianParams(
+        pos=P(DATA_AXIS, SPLAT_AXIS, None),
+        sx=P(DATA_AXIS, SPLAT_AXIS),
+        sy=P(DATA_AXIS, SPLAT_AXIS),
+        rot=P(DATA_AXIS, SPLAT_AXIS),
+        color=P(DATA_AXIS, SPLAT_AXIS, None),
+        opacity=P(DATA_AXIS, SPLAT_AXIS),
+    )
+
+
+def state_pspec() -> TrainState:
+    from gs2d_tpu.train.adam import AdamState
+
+    pp = params_pspec()
+    return TrainState(
+        params=pp,
+        opt=AdamState(m=pp, v=pp, beta1t=P(DATA_AXIS), beta2t=P(DATA_AXIS),
+                      step=P(DATA_AXIS)),
+    )
+
+
+def ref_pspec():
+    return P(DATA_AXIS, TILE_AXIS, None, None)
+
+
+def init_batched_state(cfg: SplatConfig, batch: int) -> TrainState:
+    """Batched train state: same deterministic init replicated per image
+    (each image then evolves its own population)."""
+    one = init_train_state(cfg)
+
+    def tile_leaf(x):
+        return jnp.broadcast_to(x[None], (batch,) + x.shape)
+
+    return jax.tree.map(tile_leaf, one)
+
+
+def pad_ref_batch(refs, cfg: SplatConfig) -> jax.Array:
+    """(B, H, W, 3) targets zero-padded to the tile grid (B, Hp, Wp, 3)."""
+    refs = jnp.asarray(refs, jnp.float32)
+    b = refs.shape[0]
+    out = jnp.zeros((b, cfg.padded_height, cfg.padded_width, 3), jnp.float32)
+    return out.at[:, : cfg.height, : cfg.width].set(refs)
+
+
+def _ordered_monoid_fold(C_loc, T_loc, axis: str):
+    """Combine per-shard (C, T) partials in index order over ``axis``.
+
+    Returns (final color, final T, prefix C entering this shard, prefix T
+    entering this shard). log-depth: one all_gather + an on-chip fold over
+    the (small) shard axis.
+    """
+    idx = jax.lax.axis_index(axis)
+    Call = jax.lax.all_gather(C_loc, axis)  # (S, bh, W, 3)
+    Tall = jax.lax.all_gather(T_loc, axis)  # (S, bh, W)
+    s = Call.shape[0]
+    # Exclusive prefix products of transmittance, in index order.
+    Texc = jnp.concatenate(
+        [jnp.ones_like(Tall[:1]), jnp.cumprod(Tall[:-1], axis=0)], axis=0)
+    fin = jnp.sum(Call * Texc[..., None], axis=0)
+    T_fin = Texc[-1] * Tall[-1]
+    # Prefix entering shard idx: combine of shards < idx.
+    mask = (jnp.arange(s) < idx).astype(jnp.float32)
+    C_in = jnp.sum(Call * Texc[..., None] * mask[:, None, None, None], axis=0)
+    T_in = Texc[idx]
+    return fin, T_fin, C_in, T_in
+
+
+def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh):
+    """Build the jitted multi-device train step.
+
+    State is batched (B, N, ...) and sharded (data, splat); targets are
+    (B, Hp, Wp, 3) sharded (data, tile). Returns (step_fn, shardings dict).
+    """
+    n_tile = mesh.shape[TILE_AXIS]
+    n_splat = mesh.shape[SPLAT_AXIS]
+    if cfg.padded_height % n_tile:
+        raise ValueError(
+            f"padded height {cfg.padded_height} not divisible by tile axis "
+            f"{n_tile}; adjust tile_h or mesh")
+    if cfg.n_splats % n_splat:
+        raise ValueError("n_splats must divide over the splat axis")
+    band_h = cfg.padded_height // n_tile
+    # Sharded splat axis -> exact associative monoid (threshold off).
+    cfg_shard = cfg.replace(min_throughput=0.0) if n_splat > 1 else cfg
+    n_real_px = cfg.height * cfg.width * 3
+
+    def one_image_step(params: GaussianParams, opt, ref_band):
+        y0 = jax.lax.axis_index(TILE_AXIS) * band_h
+
+        C_loc, T_loc = render_forward_band(params, cfg_shard, y0, band_h)
+        if n_splat > 1:
+            fin, _, C_in, T_in = _ordered_monoid_fold(C_loc, T_loc, SPLAT_AXIS)
+            carry_in = (C_in, T_in)
+        else:
+            fin = C_loc
+            carry_in = None
+
+        gC = fin - ref_band  # dL/dC of the L2 objective (main.cpp:616)
+        grads = render_backward_band(
+            params, fin, gC, cfg_shard, y0, band_h, carry_in)
+        # Gradient all-reduce over the pixel-band axis (ICI).
+        grads = jax.lax.psum(grads, TILE_AXIS)
+
+        params_new, opt_new = adam_update(params, grads, opt, cfg)
+
+        # Metrics: MSE over real pixels only (band sums psum'd over tiles).
+        band_sq = jnp.sum(gC * gC)  # zero on padding by construction
+        mse = jax.lax.psum(band_sq, TILE_AXIS) * jnp.float32(255.0 * 255.0) \
+            / jnp.float32(n_real_px)
+        return params_new, opt_new, mse
+
+    def local_step(state: TrainState, refs):
+        # vmap over the local batch slice.
+        def img(params, m, v, b1t, b2t, stp, ref_band):
+            opt = type(state.opt)(m=m, v=v, beta1t=b1t, beta2t=b2t, step=stp)
+            p_new, o_new, mse = one_image_step(params, opt, ref_band)
+            return p_new, o_new.m, o_new.v, o_new.beta1t, o_new.beta2t, \
+                o_new.step, mse
+
+        p_new, m_new, v_new, b1t, b2t, stp, mse = jax.vmap(img)(
+            state.params, state.opt.m, state.opt.v, state.opt.beta1t,
+            state.opt.beta2t, state.opt.step, refs)
+        opt = type(state.opt)(m=m_new, v=v_new, beta1t=b1t, beta2t=b2t,
+                              step=stp)
+        new_state = TrainState(params=p_new, opt=opt)
+
+        bad_local = jnp.float32(0.0)
+        for leaf in jax.tree.leaves(p_new):
+            bad_local = bad_local + jnp.sum(
+                (~jnp.isfinite(leaf)).astype(jnp.float32))
+        bad = jax.lax.psum(jax.lax.psum(bad_local, SPLAT_AXIS), TILE_AXIS)
+        finite = bad == 0.0
+
+        aux = StepAux(mse=mse, psnr=psnr_from_mse(mse),
+                      all_finite=jnp.broadcast_to(finite, mse.shape))
+        return new_state, aux
+
+    sspec = state_pspec()
+    aux_spec = StepAux(mse=P(DATA_AXIS), psnr=P(DATA_AXIS),
+                       all_finite=P(DATA_AXIS))
+
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(sspec, ref_pspec()),
+        out_specs=(sspec, aux_spec),
+        check_vma=False,
+    )
+    step = jax.jit(sharded)
+
+    shardings = {
+        "state": jax.tree.map(lambda s: NamedSharding(mesh, s), sspec),
+        "ref": NamedSharding(mesh, ref_pspec()),
+    }
+    return step, shardings
+
+
+def fit_sharded(
+    refs,
+    cfg: SplatConfig,
+    mesh: Mesh,
+    iterations: int,
+    state: Optional[TrainState] = None,
+    log_every: int = 0,
+    log_fn=print,
+):
+    """Host driver for multi-device fitting over a batch of targets."""
+    refs = pad_ref_batch(jnp.asarray(refs), cfg)
+    batch = refs.shape[0]
+    if state is None:
+        state = init_batched_state(cfg, batch)
+    step, shardings = make_sharded_train_step(cfg, mesh)
+    state = jax.device_put(state, shardings["state"])
+    refs = jax.device_put(refs, shardings["ref"])
+    history = []
+    for it in range(iterations):
+        state, aux = step(state, refs)
+        if log_every and (it % log_every == 0 or it == iterations - 1):
+            mse = [float(m) for m in aux.mse]
+            history.append({"iter": it, "mse": mse})
+            if log_fn:
+                log_fn(f"{it} itr, mse {mse}")
+    jax.block_until_ready(jax.tree.leaves(state)[0])
+    return state, history
