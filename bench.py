@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Round benchmark: training throughput at the reference default workload.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: squirrel_cls_mini.jpg (268x213) fit with 1024 splats -- the
+reference's default configuration (/root/reference/main.cpp:257,271).
+Baseline denominator: 39.7 iters/s, the C++ re-timing measured with
+oracle/baseline_timer.cpp on this machine (see BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+CPP_BASELINE_ITERS_PER_S = 39.7  # BASELINE.md, measured 2026-08-17
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from gs2d_tpu.config import SplatConfig
+    from gs2d_tpu.io.image import load_asset
+    from gs2d_tpu.ops import render_pallas
+    from gs2d_tpu.train.loop import init_train_state, make_train_step
+
+    ref = load_asset("squirrel_cls_mini.jpg")
+    h, w = ref.shape[:2]
+    refj = jnp.asarray(ref)
+    cfg = SplatConfig(width=w, height=h, n_splats=1024,
+                      max_splats_per_tile=256)
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    render_fn = render_pallas.render if on_tpu else None
+    step = make_train_step(cfg, render_fn)
+
+    state = init_train_state(cfg)
+    # Warmup / compile. NOTE: completion is forced by fetching the scalar
+    # value -- on the tunneled TPU runtime block_until_ready alone does not
+    # reliably wait for remote execution.
+    state, aux = step(state, refj)
+    float(aux.mse)
+
+    iters = 100 if on_tpu else 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, aux = step(state, refj)
+    float(aux.mse)
+    dt = (time.perf_counter() - t0) / iters
+
+    iters_per_s = 1.0 / dt
+    print(json.dumps({
+        "metric": "train_iters_per_s_mini_1024_splats",
+        "value": round(iters_per_s, 3),
+        "unit": "iterations/s (fwd+bwd+adam, 268x213, 1024 splats)",
+        "vs_baseline": round(iters_per_s / CPP_BASELINE_ITERS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
