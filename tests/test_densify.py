@@ -1,0 +1,84 @@
+"""Density-control tests: static-capacity prune/clone/split semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gs2d_tpu.config import SplatConfig
+from gs2d_tpu.io.image import synthetic_target
+from gs2d_tpu.ops.render_jax import l2_loss
+from gs2d_tpu.train.densify import (
+    DEAD_POS, DensifyConfig, densify_and_prune, live_mask, n_live)
+from gs2d_tpu.train.loop import fit, init_train_state
+
+H, W = 32, 64
+
+
+def test_prune_degenerate_and_fill():
+    cfg = SplatConfig(width=W, height=H, n_splats=16)
+    state = init_train_state(cfg)
+    p = state.params
+    # collapse splats 0..3 to the scale floor -> prune targets
+    p = p.replace(sx=p.sx.at[:4].set(1.0), sy=p.sy.at[:4].set(1.0))
+    state = state.replace(params=p)
+    # big position gradients on splats 8..11 -> donors
+    g = jnp.zeros((16,)).at[8:12].set(10.0)
+    new = densify_and_prune(state, g, cfg)
+    # population stays at capacity; pruned slots were refilled by clones
+    assert int(n_live(new.params)) == 16
+    # children carry donor colors/scales near the donors'
+    assert np.isfinite(np.asarray(new.params.pos)).all()
+
+
+def test_prune_without_donors_leaves_dead_slots():
+    cfg = SplatConfig(width=W, height=H, n_splats=8)
+    state = init_train_state(cfg)
+    p = state.params
+    p = p.replace(sx=p.sx.at[:3].set(1.0), sy=p.sy.at[:3].set(1.0))
+    state = state.replace(params=p)
+    new = densify_and_prune(state, jnp.zeros((8,)), cfg)
+    assert int(n_live(new.params)) == 5
+    dead = ~np.asarray(live_mask(new.params))
+    assert dead.sum() == 3
+    assert (np.asarray(new.params.pos)[dead] <= DEAD_POS * 0.5).all()
+
+
+def test_split_shrinks_large_donor():
+    cfg = SplatConfig(width=W, height=H, n_splats=8)
+    state = init_train_state(cfg)
+    p = state.params
+    p = p.replace(sx=p.sx.at[0].set(1.0), sy=p.sy.at[0].set(1.0),  # dead-ish
+                  )
+    p = p.replace(sx=p.sx.at[5].set(40.0), sy=p.sy.at[5].set(40.0))  # huge
+    state = state.replace(params=p)
+    g = jnp.zeros((8,)).at[5].set(10.0)
+    new = densify_and_prune(state, g, cfg)
+    assert float(new.params.sx[5]) < 40.0  # donor was shrunk by the split
+
+
+def test_moments_reset_on_touched_slots():
+    cfg = SplatConfig(width=W, height=H, n_splats=8)
+    state = init_train_state(cfg)
+    m = jax.tree.map(lambda x: jnp.ones_like(x), state.opt.m)
+    state = state.replace(opt=state.opt.replace(m=m, v=m))
+    p = state.params.replace(sx=state.params.sx.at[:2].set(1.0),
+                             sy=state.params.sy.at[:2].set(1.0))
+    state = state.replace(params=p)
+    g = jnp.zeros((8,)).at[6].set(5.0)
+    new = densify_and_prune(state, g, cfg)
+    # the refilled slot's moments are zeroed; untouched slots keep theirs
+    m_sx = np.asarray(new.opt.m.sx)
+    assert (m_sx == 0).sum() >= 1
+    assert (m_sx == 1).sum() >= 5
+
+
+def test_training_still_converges_after_densify():
+    cfg = SplatConfig(width=W, height=H, n_splats=48)
+    ref = jnp.asarray(synthetic_target(H, W))
+    state, hist0 = fit(ref, cfg, iterations=20, log_every=19, log_fn=None)
+    g = jax.grad(l2_loss)(state.params, ref, cfg)
+    mag = jnp.linalg.norm(g.pos, axis=-1)
+    state = densify_and_prune(state, mag, cfg)
+    state, hist1 = fit(ref, cfg, iterations=20, state=state, log_every=19,
+                       log_fn=None)
+    assert hist1[-1]["mse"] <= hist0[-1]["mse"] * 1.1  # no blow-up
