@@ -26,17 +26,21 @@ def main():
     from gs2d_tpu.config import SplatConfig
     from gs2d_tpu.io.image import load_asset
     from gs2d_tpu.ops import render_pallas
-    from gs2d_tpu.train.loop import init_train_state, make_train_step
+    from gs2d_tpu.train.loop import (init_train_state, make_train_step,
+                                     make_train_step_fused)
 
     ref = load_asset("squirrel_cls_mini.jpg")
     h, w = ref.shape[:2]
-    refj = jnp.asarray(ref)
     cfg = SplatConfig(width=w, height=h, n_splats=1024,
                       max_splats_per_tile=256)
 
     on_tpu = jax.default_backend() not in ("cpu",)
-    render_fn = render_pallas.render if on_tpu else None
-    step = make_train_step(cfg, render_fn)
+    if on_tpu:
+        refj = render_pallas.pad_ref_chw(jnp.asarray(ref), cfg)
+        step = make_train_step_fused(cfg)
+    else:
+        refj = jnp.asarray(ref)
+        step = make_train_step(cfg)
 
     state = init_train_state(cfg)
     # Warmup / compile. NOTE: completion is forced by fetching the scalar

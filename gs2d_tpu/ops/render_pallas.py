@@ -118,25 +118,38 @@ def _tile_coords(cfg: SplatConfig):
     return yy, xx, fy, fx, inside
 
 
+UNROLL = 4  # splats per loop iteration (padding is benign, see tiles.py)
+
+
+def _unrolled(n_k):
+    return UNROLL if n_k % UNROLL == 0 else 1
+
+
+def _fwd_one(params_ref, k, fx, fy, xx, yy, inside, cfg, carry):
+    cr_acc, cg_acc, cb_acc, T = carry
+    live, alpha, _, _, _, s = _splat_terms(
+        params_ref, k, fx, fy, xx, yy, inside, T, cfg)
+    w = jnp.where(live, T * alpha, jnp.float32(0.0))
+    return (cr_acc + w * s["cr"], cg_acc + w * s["cg"], cb_acc + w * s["cb"],
+            jnp.where(live, T * (jnp.float32(1.0) - alpha), T))
+
+
 def _forward_kernel(count_ref, params_ref, color_ref, trans_ref, *, cfg: SplatConfig):
     yy, xx, fy, fx, inside = _tile_coords(cfg)
     th, tw = cfg.tile_h, cfg.tile_w
     n_live = count_ref[pl.program_id(0) * cfg.n_tiles_x + pl.program_id(1)]
+    u = _unrolled(params_ref.shape[2])
 
-    def body(k, carry):
-        cr_acc, cg_acc, cb_acc, T = carry
-        live, alpha, _, _, _, s = _splat_terms(
-            params_ref, k, fx, fy, xx, yy, inside, T, cfg)
-        w = jnp.where(live, T * alpha, jnp.float32(0.0))
-        cr_acc = cr_acc + w * s["cr"]
-        cg_acc = cg_acc + w * s["cg"]
-        cb_acc = cb_acc + w * s["cb"]
-        T = jnp.where(live, T * (jnp.float32(1.0) - alpha), T)
-        return cr_acc, cg_acc, cb_acc, T
+    def body(c, carry):
+        for i in range(u):
+            carry = _fwd_one(params_ref, c * u + i, fx, fy, xx, yy, inside,
+                             cfg, carry)
+        return carry
 
     zero = jnp.zeros((th, tw), jnp.float32)
     cr_acc, cg_acc, cb_acc, T = jax.lax.fori_loop(
-        0, n_live, body, (zero, zero, zero, jnp.ones((th, tw), jnp.float32)))
+        0, (n_live + u - 1) // u, body,
+        (zero, zero, zero, jnp.ones((th, tw), jnp.float32)))
     color_ref[0, 0] = cr_acc
     color_ref[0, 1] = cg_acc
     color_ref[0, 2] = cb_acc
@@ -149,91 +162,102 @@ def _backward_kernel(count_ref, params_ref, fin_ref, gc_ref, grads_ref,
     th, tw = cfg.tile_h, cfg.tile_w
     n_live = count_ref[pl.program_id(0) * cfg.n_tiles_x + pl.program_id(1)]
 
-    fin_r = fin_ref[0, 0]
-    fin_g = fin_ref[0, 1]
-    fin_b = fin_ref[0, 2]
-    gc_r = gc_ref[0, 0]
-    gc_g = gc_ref[0, 1]
-    gc_b = gc_ref[0, 2]
+    fin_rgb = (fin_ref[0, 0], fin_ref[0, 1], fin_ref[0, 2])
+    gc_rgb = (gc_ref[0, 0], gc_ref[0, 1], gc_ref[0, 2])
 
     n_k = grads_ref.shape[2]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_k), 1)
 
-    def body(k, carry):
-        cr_acc, cg_acc, cb_acc, T, gacc = carry
-        live, alpha, G, vx, vy, s = _splat_terms(
-            params_ref, k, fx, fy, xx, yy, inside, T, cfg)
-        mw = live.astype(jnp.float32)
-        # One-hot lane mask: Mosaic cannot store a scalar at a dynamic lane
-        # offset, so per-splat sums accumulate into a (16, K) matrix via an
-        # outer product with this mask.
-        oh = (lane == k).astype(jnp.float32)
+    u = _unrolled(n_k)
 
-        # dL/dc contributions (main.cpp:617-620)
-        w_c = alpha * T * mw
-
-        # Replay composite; suffix color S = final - prefix (main.cpp:622-627).
-        w = jnp.where(live, T * alpha, jnp.float32(0.0))
-        cr_acc = cr_acc + w * s["cr"]
-        cg_acc = cg_acc + w * s["cg"]
-        cb_acc = cb_acc + w * s["cb"]
-
-        # (1 - alpha + 1e-15) guard, reassociation-proof (see render_jax).
-        inv1ma = jnp.float32(1.0) / jnp.where(
-            alpha >= jnp.float32(1.0), jnp.float32(1e-15),
-            jnp.float32(1.0) - alpha)
-        dL_da = (
-            gc_r * (s["cr"] * T - (fin_r - cr_acc) * inv1ma)
-            + gc_g * (s["cg"] * T - (fin_g - cg_acc) * inv1ma)
-            + gc_b * (s["cb"] * T - (fin_b - cb_acc) * inv1ma)
-        ) * mw
-
-        a, b, d = s["a"], s["b"], s["d"]
-        # d(alpha)/d(mu) (main.cpp:635-640); b == c in the symmetric inverse.
-        dal_dx = jnp.float32(0.5) * alpha * (jnp.float32(2.0) * a * vx + (b + b) * vy)
-        dal_dy = jnp.float32(0.5) * alpha * (jnp.float32(2.0) * d * vy + (b + b) * vx)
-
-        cosT, sinT = s["cosT"], s["sinT"]
-        sx, sy = s["sx"], s["sy"]
-        vxx = vx * vx
-        vxy = vx * vy
-        vyy = vy * vy
-        # d(alpha)/d(sx, sy) (main.cpp:657-662)
-        dal_dsx = alpha / (sx * sx * sx) * (
-            cosT * cosT * vxx + jnp.float32(2.0) * sinT * cosT * vxy
-            + sinT * sinT * vyy)
-        dal_dsy = alpha / (sy * sy * sy) * (
-            sinT * sinT * vxx - jnp.float32(2.0) * sinT * cosT * vxy
-            + cosT * cosT * vyy)
-        # d(alpha)/d(theta) (main.cpp:680-683)
-        dal_dth = alpha * (sx * sx - sy * sy) / (sx * sx * sy * sy) * (
-            (cosT * cosT - sinT * sinT) * vxy - sinT * cosT * (vxx - vyy))
-
-        # Nine tile-wide sums, batched: sublane-reduce each quantity to
-        # (1, tw), stack as sublanes, and do ONE cross-lane reduction for all
-        # of them (cross-lane reduces are the expensive part on the VPU).
-        qs = [
-            dL_da * dal_dx, dL_da * dal_dy,           # G_PX, G_PY
-            dL_da * dal_dsx, dL_da * dal_dsy,         # G_SX, G_SY
-            dL_da * dal_dth,                          # G_ROT
-            gc_r * w_c, gc_g * w_c, gc_b * w_c,       # G_CR..G_CB
-            dL_da * G,                                # G_OP (main.cpp:703)
-        ]
-        stacked = jnp.concatenate(
-            [jnp.sum(q, axis=0, keepdims=True) for q in qs], axis=0)  # (9, tw)
-        col = jnp.sum(stacked, axis=1, keepdims=True)                 # (9, 1)
-        gacc = gacc + col * oh                                        # (9, K)
-
-        T = jnp.where(live, T * (jnp.float32(1.0) - alpha), T)
-        return cr_acc, cg_acc, cb_acc, T, gacc
+    def body(c, carry):
+        comp, gacc = carry
+        for i in range(u):
+            k = c * u + i
+            comp, col = _bwd_splat_step(params_ref, k, fx, fy, xx, yy, inside,
+                                        cfg, comp, fin_rgb, gc_rgb)
+            oh = (lane == k).astype(jnp.float32)
+            gacc = gacc + col * oh
+        return comp, gacc
 
     zero = jnp.zeros((th, tw), jnp.float32)
-    gacc0 = jnp.zeros((9, n_k), jnp.float32)
-    *_, gacc = jax.lax.fori_loop(
-        0, n_live, body,
-        (zero, zero, zero, jnp.ones((th, tw), jnp.float32), gacc0))
+    comp0 = (zero, zero, zero, jnp.ones((th, tw), jnp.float32))
+    _, gacc = jax.lax.fori_loop(
+        0, (n_live + u - 1) // u, body,
+        (comp0, jnp.zeros((9, n_k), jnp.float32)))
     grads_ref[0] = jnp.concatenate(
         [gacc, jnp.zeros((N_GRAD_FIELDS - 9, n_k), jnp.float32)], axis=0)
+
+
+def _bwd_splat_step(params_ref, k, fx, fy, xx, yy, inside, cfg,
+                    carry, fin_rgb, gc_rgb):
+    """One splat's backward contribution on a tile: replay + 9 gradient sums.
+
+    Returns (new (cr,cg,cb,T) carry, (9,1) column of per-splat sums).
+    Shared by the standalone backward kernel and the fused L2 kernel.
+    """
+    cr_acc, cg_acc, cb_acc, T = carry
+    fin_r, fin_g, fin_b = fin_rgb
+    gc_r, gc_g, gc_b = gc_rgb
+    live, alpha, G, vx, vy, s = _splat_terms(
+        params_ref, k, fx, fy, xx, yy, inside, T, cfg)
+    mw = live.astype(jnp.float32)
+
+    # dL/dc = sum gC * alpha * T (main.cpp:617-620)
+    w_c = alpha * T * mw
+
+    # Replay composite; suffix color S = final - prefix (main.cpp:622-627).
+    w = jnp.where(live, T * alpha, jnp.float32(0.0))
+    cr_acc = cr_acc + w * s["cr"]
+    cg_acc = cg_acc + w * s["cg"]
+    cb_acc = cb_acc + w * s["cb"]
+
+    # (1 - alpha + 1e-15) guard, reassociation-proof (see render_jax).
+    inv1ma = jnp.float32(1.0) / jnp.where(
+        alpha >= jnp.float32(1.0), jnp.float32(1e-15),
+        jnp.float32(1.0) - alpha)
+    dL_da = (
+        gc_r * (s["cr"] * T - (fin_r - cr_acc) * inv1ma)
+        + gc_g * (s["cg"] * T - (fin_g - cg_acc) * inv1ma)
+        + gc_b * (s["cb"] * T - (fin_b - cb_acc) * inv1ma)
+    ) * mw
+
+    a, b, d = s["a"], s["b"], s["d"]
+    # d(alpha)/d(mu) (main.cpp:635-640); b == c in the symmetric inverse.
+    dal_dx = jnp.float32(0.5) * alpha * (jnp.float32(2.0) * a * vx + (b + b) * vy)
+    dal_dy = jnp.float32(0.5) * alpha * (jnp.float32(2.0) * d * vy + (b + b) * vx)
+
+    cosT, sinT = s["cosT"], s["sinT"]
+    sx, sy = s["sx"], s["sy"]
+    vxx = vx * vx
+    vxy = vx * vy
+    vyy = vy * vy
+    # d(alpha)/d(sx, sy) (main.cpp:657-662)
+    dal_dsx = alpha / (sx * sx * sx) * (
+        cosT * cosT * vxx + jnp.float32(2.0) * sinT * cosT * vxy
+        + sinT * sinT * vyy)
+    dal_dsy = alpha / (sy * sy * sy) * (
+        sinT * sinT * vxx - jnp.float32(2.0) * sinT * cosT * vxy
+        + cosT * cosT * vyy)
+    # d(alpha)/d(theta) (main.cpp:680-683)
+    dal_dth = alpha * (sx * sx - sy * sy) / (sx * sx * sy * sy) * (
+        (cosT * cosT - sinT * sinT) * vxy - sinT * cosT * (vxx - vyy))
+
+    # Nine tile-wide sums, batched: sublane-reduce each, stack, ONE
+    # cross-lane reduction (cross-lane reduces are the expensive VPU op).
+    qs = [
+        dL_da * dal_dx, dL_da * dal_dy,           # G_PX, G_PY
+        dL_da * dal_dsx, dL_da * dal_dsy,         # G_SX, G_SY
+        dL_da * dal_dth,                          # G_ROT
+        gc_r * w_c, gc_g * w_c, gc_b * w_c,       # G_CR..G_CB
+        dL_da * G,                                # G_OP (main.cpp:703)
+    ]
+    stacked = jnp.concatenate(
+        [jnp.sum(q, axis=0, keepdims=True) for q in qs], axis=0)
+    col = jnp.sum(stacked, axis=1, keepdims=True)                 # (9, 1)
+
+    T = jnp.where(live, T * (jnp.float32(1.0) - alpha), T)
+    return (cr_acc, cg_acc, cb_acc, T), col
 
 
 def _should_interpret() -> bool:
@@ -368,3 +392,131 @@ def _render_bwd(cfg, res, g_color):
 
 
 render.defvjp(_render_fwd, _render_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused L2 train kernel: forward + cotangent + backward in ONE pallas_call.
+# ---------------------------------------------------------------------------
+
+def _l2_fused_kernel(count_ref, params_ref, ref_ref, color_ref, grads_ref,
+                     *, cfg: SplatConfig):
+    """One grid step per tile: composite the tile (pass 1), form the L2
+    cotangent gC = C - ref in registers (the reference's dL/dC,
+    main.cpp:616), then replay for gradients (pass 2). Halves kernel
+    dispatches and keeps fin/gC entirely on-chip."""
+    yy, xx, fy, fx, inside = _tile_coords(cfg)
+    th, tw = cfg.tile_h, cfg.tile_w
+    n_live = count_ref[pl.program_id(0) * cfg.n_tiles_x + pl.program_id(1)]
+
+    # ---- pass 1: forward composite --------------------------------------
+    u = _unrolled(params_ref.shape[2])
+
+    def fwd_body(c, carry):
+        for i in range(u):
+            carry = _fwd_one(params_ref, c * u + i, fx, fy, xx, yy, inside,
+                             cfg, carry)
+        return carry
+
+    zero = jnp.zeros((th, tw), jnp.float32)
+    fin_r, fin_g, fin_b, _ = jax.lax.fori_loop(
+        0, (n_live + u - 1) // u, fwd_body,
+        (zero, zero, zero, jnp.ones((th, tw), jnp.float32)))
+    color_ref[0, 0] = fin_r
+    color_ref[0, 1] = fin_g
+    color_ref[0, 2] = fin_b
+
+    gc_rgb = (fin_r - ref_ref[0, 0], fin_g - ref_ref[0, 1],
+              fin_b - ref_ref[0, 2])
+    fin_rgb = (fin_r, fin_g, fin_b)
+
+    # ---- pass 2: backward replay -----------------------------------------
+    n_k = grads_ref.shape[2]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_k), 1)
+
+    def bwd_body(c, carry):
+        comp, gacc = carry
+        for i in range(u):
+            k = c * u + i
+            comp, col = _bwd_splat_step(params_ref, k, fx, fy, xx, yy, inside,
+                                        cfg, comp, fin_rgb, gc_rgb)
+            oh = (lane == k).astype(jnp.float32)
+            gacc = gacc + col * oh
+        return comp, gacc
+
+    comp0 = (zero, zero, zero, jnp.ones((th, tw), jnp.float32))
+    _, gacc = jax.lax.fori_loop(
+        0, (n_live + u - 1) // u, bwd_body,
+        (comp0, jnp.zeros((9, n_k), jnp.float32)))
+    grads_ref[0] = jnp.concatenate(
+        [gacc, jnp.zeros((N_GRAD_FIELDS - 9, n_k), jnp.float32)], axis=0)
+
+
+def _segment_grads(binning: tl.TileBinning, partial: jax.Array,
+                   n_splats: int) -> GaussianParams:
+    """Segment (n_tiles, 16, K) per-tile gradient partials onto the splat
+    axis with ONE scatter-add (padded ids are -1 -> dropped)."""
+    n_tiles, _, k = partial.shape
+    rows = jnp.transpose(partial, (0, 2, 1)).reshape(n_tiles * k, N_GRAD_FIELDS)
+    flat_ids = binning.ids.reshape(-1)
+    acc = jnp.zeros((n_splats, N_GRAD_FIELDS), jnp.float32).at[flat_ids].add(
+        rows, mode="drop")
+    return GaussianParams(
+        pos=acc[:, (G_PX, G_PY)],
+        sx=acc[:, G_SX], sy=acc[:, G_SY], rot=acc[:, G_ROT],
+        color=acc[:, (G_CR, G_CG, G_CB)],
+        opacity=acc[:, G_OP],
+    )
+
+
+def l2_render_and_grads(
+    binning: tl.TileBinning,
+    ref_chw: jax.Array,
+    n_splats: int,
+    cfg: SplatConfig,
+    interpret: bool | None = None,
+) -> Tuple[jax.Array, GaussianParams]:
+    """Fused production train path for the L2 objective.
+
+    ``ref_chw`` is the zero-padded (1, 3, Hp, Wp) target (pad once per fit,
+    not per step). Returns (color (H, W, 3), parameter gradients)."""
+    if interpret is None:
+        interpret = _should_interpret()
+    k = binning.ids.shape[1]
+    gy, gx = cfg.n_tiles_y, cfg.n_tiles_x
+    n_tiles = gy * gx
+    th, tw = cfg.tile_h, cfg.tile_w
+
+    color, partial = pl.pallas_call(
+        functools.partial(_l2_fused_kernel, cfg=cfg),
+        grid=(gy, gx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tl.N_FIELDS, k), lambda i, j, gx=gx: (i * gx + j, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, th, tw), lambda i, j: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, th, tw), lambda i, j: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_GRAD_FIELDS, k), lambda i, j, gx=gx: (i * gx + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 3, cfg.padded_height, cfg.padded_width),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, N_GRAD_FIELDS, k), jnp.float32),
+        ],
+        interpret=interpret,
+    )(binning.count, binning.tile_params, ref_chw)
+
+    grads = _segment_grads(binning, partial, n_splats)
+    color = jnp.transpose(color[0], (1, 2, 0))[: cfg.height, : cfg.width]
+    return color, grads
+
+
+def pad_ref_chw(ref: jax.Array, cfg: SplatConfig) -> jax.Array:
+    """Zero-pad an (H, W, 3) target to the (1, 3, Hp, Wp) kernel layout."""
+    out = jnp.zeros((1, 3, cfg.padded_height, cfg.padded_width), jnp.float32)
+    return out.at[0, :, : cfg.height, : cfg.width].set(
+        jnp.transpose(jnp.asarray(ref, jnp.float32), (2, 0, 1)))

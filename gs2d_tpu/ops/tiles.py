@@ -117,18 +117,27 @@ def bin_splats(
     cfg: SplatConfig,
     max_per_tile: int,
     dup_capacity: int | None = None,
-    max_tiles_per_splat: int = 256,
+    max_tiles_per_splat: int | None = None,
 ) -> TileBinning:
     """Build the per-tile splat lists (index order preserved within a tile).
 
     max_tiles_per_splat caps the duplicate expansion per splat (a splat
     covering more tiles gets its bbox truncated; counted in n_dropped).
+
+    Sorting uses a single packed int key (tile_id * 2^splat_bits + splat_id
+    when it fits in int32, int64 otherwise): one direct value sort replaces
+    argsort+gathers, and because the splat id occupies the low bits the sort
+    itself yields per-tile runs in splat index order -- the compositing-order
+    contract (Form.pdf p2) with no stable-sort requirement.
     """
     n = p.pos.shape[0]
     n_tiles = cfg.n_tiles_y * cfg.n_tiles_x
+    if max_tiles_per_splat is None:
+        # A sigma<=10 splat at 3 sigma spans <= ceil(60/tile_h)+1 tile rows x
+        # ceil(60/tile_w)+1 cols; 64 is generous for the clamped default
+        # init. Overflow is counted in n_dropped, never silent.
+        max_tiles_per_splat = 64
     if dup_capacity is None:
-        # A sigma~8 splat at 3 sigma spans ~7 rows of 8-px tiles; be generous
-        # by default (overflow is counted in n_dropped, never silent).
         dup_capacity = max(16 * n, 4096)
 
     tx0, tx1, ty0, ty1, offscreen = splat_tile_bbox(p, cfg)
@@ -138,17 +147,15 @@ def bin_splats(
     count = jnp.minimum(count_full, max_tiles_per_splat)
     dropped_bbox = jnp.sum(count_full - count)
 
-    # Offsets of each splat's duplicate run (splat-order layout -> stable
-    # sort keeps index order within a tile).
+    # Offsets of each splat's duplicate run.
     offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                jnp.cumsum(count, dtype=jnp.int32)])
     total = offsets[-1]
     dropped_cap = jnp.maximum(total - dup_capacity, 0)
 
     # Expand: for duplicate slot j of splat i, tile = linear index over the
-    # splat's tile bbox. Scatter (tile_id, splat_id) into the flat buffer.
+    # splat's tile bbox; scatter packed keys into the flat buffer.
     slot = jnp.arange(max_tiles_per_splat, dtype=jnp.int32)
-    # (N, max_tiles_per_splat) local tile coordinates within each bbox.
     local_y = slot[None, :] // jnp.maximum(w_t, 1)[:, None]
     local_x = slot[None, :] % jnp.maximum(w_t, 1)[:, None]
     tile_id = ((ty0[:, None] + local_y) * cfg.n_tiles_x
@@ -157,20 +164,38 @@ def bin_splats(
     dest = offsets[:-1][:, None] + slot[None, :]
     dest = jnp.where(live & (dest < dup_capacity), dest, dup_capacity)
 
-    pair_tile = jnp.full((dup_capacity + 1,), jnp.int32(0x7FFFFFFF))
-    pair_splat = jnp.full((dup_capacity + 1,), jnp.int32(-1))
-    pair_tile = pair_tile.at[dest.reshape(-1)].set(
-        jnp.where(live, tile_id, 0x7FFFFFFF).reshape(-1), mode="drop")
-    pair_splat = pair_splat.at[dest.reshape(-1)].set(
-        jnp.where(live, jnp.arange(n, dtype=jnp.int32)[:, None]
-                  * jnp.ones_like(slot)[None, :], -1).reshape(-1), mode="drop")
-    pair_tile = pair_tile[:dup_capacity]
-    pair_splat = pair_splat[:dup_capacity]
+    splat_bits = max((n - 1).bit_length(), 1)
+    use_i64 = splat_bits + max(n_tiles.bit_length(), 1) >= 31
+    key_dtype = jnp.int64 if use_i64 else jnp.int32
+    if use_i64 and not jax.config.read("jax_enable_x64"):
+        # int64 keys need x64; fall back to a (tile, splat) lexsort.
+        key_dtype = None
 
-    # Stable sort by tile id; equal tiles keep splat order.
-    order = jnp.argsort(pair_tile, stable=True)
-    sorted_tile = pair_tile[order]
-    sorted_splat = pair_splat[order]
+    splat_ids = jnp.arange(n, dtype=jnp.int32)[:, None] * jnp.ones_like(slot)[None, :]
+    if key_dtype is not None:
+        shift = jnp.array(1 << splat_bits, key_dtype)
+        pad_key = jnp.array(
+            jnp.iinfo(key_dtype).max, key_dtype)
+        key = tile_id.astype(key_dtype) * shift + splat_ids.astype(key_dtype)
+        buf = jnp.full((dup_capacity + 1,), pad_key)
+        buf = buf.at[dest.reshape(-1)].set(
+            jnp.where(live, key, pad_key).reshape(-1), mode="drop")
+        sorted_key = jax.lax.sort(buf[:dup_capacity])
+        sorted_tile = (sorted_key >> splat_bits).astype(jnp.int32)
+        mask_live = sorted_key != pad_key
+        sorted_tile = jnp.where(mask_live, sorted_tile, jnp.int32(0x7FFFFFFF))
+        sorted_splat = jnp.where(
+            mask_live,
+            (sorted_key & (shift - 1)).astype(jnp.int32), jnp.int32(-1))
+    else:  # pragma: no cover - huge configs without x64
+        pair_tile = jnp.full((dup_capacity + 1,), jnp.int32(0x7FFFFFFF))
+        pair_splat = jnp.full((dup_capacity + 1,), jnp.int32(-1))
+        pair_tile = pair_tile.at[dest.reshape(-1)].set(
+            jnp.where(live, tile_id, 0x7FFFFFFF).reshape(-1), mode="drop")
+        pair_splat = pair_splat.at[dest.reshape(-1)].set(
+            jnp.where(live, splat_ids, -1).reshape(-1), mode="drop")
+        sorted_tile, sorted_splat = jax.lax.sort(
+            (pair_tile[:dup_capacity], pair_splat[:dup_capacity]), num_keys=2)
 
     # Per-tile run start and length.
     starts = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32),
@@ -191,7 +216,15 @@ def bin_splats(
     fields = packed_fields(p)  # (F, N)
     safe_ids = jnp.where(ids >= 0, ids, 0)
     tp = fields[:, safe_ids]                      # (F, n_tiles, K)
-    tp = jnp.where(valid[None, :, :], tp, 0.0)    # zero padding (opacity 0)
+    # Benign padding: opacity 0 (no contribution), unit scales/inverse-cov
+    # (no 0/0 in gradient formulas), h = -1 (empty row range). This keeps
+    # padded slots NaN-free so kernels may process them unguarded (needed by
+    # the manually unrolled loops).
+    pad_vals = jnp.zeros((N_FIELDS,), jnp.float32)
+    pad_vals = pad_vals.at[jnp.array([FIELD_A, FIELD_D, FIELD_SX, FIELD_SY,
+                                      FIELD_COS])].set(1.0)
+    pad_vals = pad_vals.at[FIELD_H].set(-1.0)
+    tp = jnp.where(valid[None, :, :], tp, pad_vals[:, None, None])
     tile_params = jnp.transpose(tp, (1, 0, 2))    # (n_tiles, F, K)
 
     return TileBinning(

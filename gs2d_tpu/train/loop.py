@@ -185,3 +185,39 @@ def fit(
         check_finite(aux, iterations - 1)
     jax.block_until_ready(state.params.pos)
     return state, history
+
+
+def make_train_step_fused(cfg: SplatConfig):
+    """Production single-device train step: fused Pallas L2 kernel.
+
+    One kernel does forward + cotangent + backward per tile; Adam and the
+    metrics fuse around it in XLA. The target must be pre-padded once with
+    ``render_pallas.pad_ref_chw`` (pass the padded (1,3,Hp,Wp) array).
+    Semantically identical (bitwise on the forward) to the modular
+    custom-VJP path; specialized to the reference's L2 objective.
+    """
+    from gs2d_tpu.ops import render_pallas as rp
+
+    k = rp._max_per_tile(cfg)
+
+    @jax.jit
+    def train_step(state: TrainState, ref_chw: jax.Array):
+        from gs2d_tpu.ops import tiles as tl
+
+        binning = tl.bin_splats(state.params, cfg, k)
+        color, grads = rp.l2_render_and_grads(
+            binning, ref_chw, cfg.n_splats, cfg)
+        params, opt = adam_update(state.params, grads, state.opt, cfg)
+        finite = jnp.all(
+            jnp.array(
+                [jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree.leaves(params)]
+            )
+        )
+        ref_crop = jnp.transpose(
+            ref_chw[0], (1, 2, 0))[: cfg.height, : cfg.width]
+        mse = mse_255(color, ref_crop)
+        return TrainState(params=params, opt=opt), StepAux(
+            mse=mse, psnr=psnr_from_mse(mse), all_finite=finite
+        )
+
+    return train_step
