@@ -167,7 +167,6 @@ def _backward_kernel(count_ref, params_ref, fin_ref, gc_ref, grads_ref,
 
     n_k = grads_ref.shape[2]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_k), 1)
-
     u = _unrolled(n_k)
 
     def body(c, carry):
@@ -346,21 +345,7 @@ def backward_tiled(
         interpret=interpret,
     )(binning.count, binning.tile_params, fin, gc)
 
-    # Segment the per-tile partials back onto the splat axis (atomics-free:
-    # one scatter-add per field; padded ids are -1 and dropped).
-    flat_ids = binning.ids.reshape(-1)
-
-    def seg(field):
-        vals = partial[:, field, :].reshape(-1)
-        return jnp.zeros((n_splats,), jnp.float32).at[flat_ids].add(
-            vals, mode="drop")
-
-    g_pos = jnp.stack([seg(G_PX), seg(G_PY)], axis=-1)
-    g_col = jnp.stack([seg(G_CR), seg(G_CG), seg(G_CB)], axis=-1)
-    return GaussianParams(
-        pos=g_pos, sx=seg(G_SX), sy=seg(G_SY), rot=seg(G_ROT),
-        color=g_col, opacity=seg(G_OP),
-    )
+    return _segment_grads(binning, partial, n_splats)
 
 
 def _max_per_tile(cfg: SplatConfig) -> int:
@@ -478,10 +463,17 @@ def l2_render_and_grads(
     """Fused production train path for the L2 objective.
 
     ``ref_chw`` is the zero-padded (1, 3, Hp, Wp) target (pad once per fit,
-    not per step). Returns (color (H, W, 3), parameter gradients)."""
+    not per step). Returns (color (H, W, 3), parameter gradients).
+
+    Dispatches to the chunked variant when the per-tile capacity exceeds one
+    chunk (keeps SMEM blocks and the one-hot gradient accumulator O(chunk)).
+    """
     if interpret is None:
         interpret = _should_interpret()
     k = binning.ids.shape[1]
+    if k > 256 and k % 256 == 0:
+        return l2_render_and_grads_chunked(
+            binning, ref_chw, n_splats, cfg, chunk=256, interpret=interpret)
     gy, gx = cfg.n_tiles_y, cfg.n_tiles_x
     n_tiles = gy * gx
     th, tw = cfg.tile_h, cfg.tile_w
@@ -520,3 +512,188 @@ def pad_ref_chw(ref: jax.Array, cfg: SplatConfig) -> jax.Array:
     out = jnp.zeros((1, 3, cfg.padded_height, cfg.padded_width), jnp.float32)
     return out.at[0, :, : cfg.height, : cfg.width].set(
         jnp.transpose(jnp.asarray(ref, jnp.float32), (2, 0, 1)))
+
+
+# ---------------------------------------------------------------------------
+# Chunked fused L2 kernel: scales to arbitrary per-tile splat counts.
+# ---------------------------------------------------------------------------
+
+def _l2_chunked_kernel(count_ref, params_ref, ref_ref,
+                       color_ref, grads_ref, t_ref, c1_ref, t1_ref,
+                       *, cfg: SplatConfig, kc: int, n_chunks: int):
+    """Grid (tiles, phase, chunk). Phase 0 composites the tile chunk by
+    chunk; phase 1 replays for gradients. Per-pixel carries (T for the
+    forward; the replay prefix C1/T1 for the backward) live in output blocks
+    revisited across the tile's consecutive grid steps, so VMEM and the
+    one-hot accumulator stay O(chunk) no matter how long the splat list is.
+    """
+    yy, xx, fy, fx, inside = _tile_coords_grid(cfg, pl.program_id(0))
+    th, tw = cfg.tile_h, cfg.tile_w
+    phase = pl.program_id(1)
+    chunk = pl.program_id(2)
+    tile_idx = pl.program_id(0)
+    n_live = count_ref[tile_idx] - chunk * kc  # remaining in this chunk
+    n_here = jnp.clip(n_live, 0, kc)
+    u = _unrolled(kc)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, kc), 1)
+    zero = jnp.zeros((th, tw), jnp.float32)
+
+    @pl.when((phase == 0) & (chunk == 0))
+    def _():
+        color_ref[0, 0] = zero
+        color_ref[0, 1] = zero
+        color_ref[0, 2] = zero
+        t_ref[0] = jnp.ones((th, tw), jnp.float32)
+
+    @pl.when((phase == 1) & (chunk == 0))
+    def _():
+        c1_ref[0, 0] = zero
+        c1_ref[0, 1] = zero
+        c1_ref[0, 2] = zero
+        t1_ref[0] = jnp.ones((th, tw), jnp.float32)
+
+    mt = jnp.float32(cfg.min_throughput)
+
+    @pl.when(phase == 0)
+    def _():
+        # Chunk-level early exit: once every pixel of the tile is saturated
+        # (T < 1/256 everywhere), later splats cannot contribute (the
+        # vectorized form of the reference's per-pixel skip,
+        # main.cpp:518-521). Whole remaining chunks are skipped.
+        @pl.when(jnp.max(t_ref[0]) >= mt)
+        def _():
+            def body(c, carry):
+                for i in range(u):
+                    carry = _fwd_one(params_ref, c * u + i, fx, fy, xx, yy,
+                                     inside, cfg, carry)
+                return carry
+
+            carry = (color_ref[0, 0], color_ref[0, 1], color_ref[0, 2],
+                     t_ref[0])
+            cr, cg, cb, T = jax.lax.fori_loop(
+                0, (n_here + u - 1) // u, body, carry)
+            color_ref[0, 0] = cr
+            color_ref[0, 1] = cg
+            color_ref[0, 2] = cb
+            t_ref[0] = T
+
+    @pl.when(phase == 1)
+    def _():
+        # Fresh grads block every (tile, chunk) step: zero unconditionally so
+        # a saturation-skipped chunk contributes exact zeros to the scatter.
+        grads_ref[...] = jnp.zeros_like(grads_ref)
+
+        @pl.when(jnp.max(t1_ref[0]) >= mt)
+        def _():
+            fin_rgb = (color_ref[0, 0], color_ref[0, 1], color_ref[0, 2])
+            gc_rgb = (fin_rgb[0] - ref_ref[0, 0], fin_rgb[1] - ref_ref[0, 1],
+                      fin_rgb[2] - ref_ref[0, 2])
+
+            def body(c, carry):
+                comp, gacc = carry
+                for i in range(u):
+                    k = c * u + i
+                    comp, col = _bwd_splat_step(
+                        params_ref, k, fx, fy, xx, yy, inside, cfg, comp,
+                        fin_rgb, gc_rgb)
+                    oh = (lane == k).astype(jnp.float32)
+                    gacc = gacc + col * oh
+                return comp, gacc
+
+            comp = (c1_ref[0, 0], c1_ref[0, 1], c1_ref[0, 2], t1_ref[0])
+            (cr, cg, cb, T), gacc = jax.lax.fori_loop(
+                0, (n_here + u - 1) // u, body,
+                (comp, jnp.zeros((9, kc), jnp.float32)))
+            c1_ref[0, 0] = cr
+            c1_ref[0, 1] = cg
+            c1_ref[0, 2] = cb
+            t1_ref[0] = T
+            grads_ref[0] = jnp.concatenate(
+                [gacc, jnp.zeros((N_GRAD_FIELDS - 9, kc), jnp.float32)],
+                axis=0)
+
+
+def _tile_coords_grid(cfg: SplatConfig, tile_idx):
+    """Pixel coords for a flat tile index (tiles iterate row-major)."""
+    ti = tile_idx // cfg.n_tiles_x
+    tj = tile_idx % cfg.n_tiles_x
+    th, tw = cfg.tile_h, cfg.tile_w
+    yy = ti * th + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+    xx = tj * tw + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+    fy = yy.astype(jnp.float32) + jnp.float32(0.5)
+    fx = xx.astype(jnp.float32) + jnp.float32(0.5)
+    inside = (yy < cfg.height) & (xx < cfg.width)
+    return yy, xx, fy, fx, inside
+
+
+def l2_render_and_grads_chunked(
+    binning: tl.TileBinning,
+    ref_chw: jax.Array,
+    n_splats: int,
+    cfg: SplatConfig,
+    chunk: int = 256,
+    interpret: bool | None = None,
+) -> Tuple[jax.Array, GaussianParams]:
+    """Chunked fused L2 path: constant VMEM/SMEM regardless of per-tile
+    splat-list length. Same outputs as ``l2_render_and_grads``."""
+    if interpret is None:
+        interpret = _should_interpret()
+    k = binning.ids.shape[1]
+    kc = min(chunk, k)
+    if k % kc:
+        raise ValueError(f"per-tile capacity {k} must divide by chunk {kc}")
+    n_chunks = k // kc
+    gy, gx = cfg.n_tiles_y, cfg.n_tiles_x
+    n_tiles = gy * gx
+    th, tw = cfg.tile_h, cfg.tile_w
+    hp, wp = cfg.padded_height, cfg.padded_width
+
+    grid = (n_tiles, 2, n_chunks)
+
+    color, partial, _, _, _ = pl.pallas_call(
+        functools.partial(_l2_chunked_kernel, cfg=cfg, kc=kc,
+                          n_chunks=n_chunks),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tl.N_FIELDS, kc), lambda t, p, c: (t, 0, c),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, th, tw),
+                         lambda t, p, c, gx=gx: (0, 0, t // gx, t % gx),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, th, tw),
+                         lambda t, p, c, gx=gx: (0, 0, t // gx, t % gx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_GRAD_FIELDS, kc),
+                         lambda t, p, c, n_chunks=n_chunks:
+                         (t * n_chunks + c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw),
+                         lambda t, p, c, gx=gx: (0, t // gx, t % gx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, th, tw),
+                         lambda t, p, c, gx=gx: (0, 0, t // gx, t % gx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw),
+                         lambda t, p, c, gx=gx: (0, t // gx, t % gx),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 3, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * n_chunks, N_GRAD_FIELDS, kc),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((1, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((1, hp, wp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(binning.count, binning.tile_params, ref_chw)
+
+    partial = partial.reshape(n_tiles, n_chunks, N_GRAD_FIELDS, kc)
+    partial = jnp.transpose(partial, (0, 2, 1, 3)).reshape(
+        n_tiles, N_GRAD_FIELDS, n_chunks * kc)
+    grads = _segment_grads(binning, partial, n_splats)
+    color = jnp.transpose(color[0], (1, 2, 0))[: cfg.height, : cfg.width]
+    return color, grads
