@@ -69,6 +69,10 @@ class SplatConfig:
     max_splats_per_tile: Optional[int] = None
     # How many splats each inner kernel step processes (vector-friendly).
     splat_chunk: int = 256
+    # Cap on tiles per splat in the binning expansion (bbox rows x cols).
+    # 32 covers splats up to ~120 px tall at tile_h=8; larger splats get a
+    # row-major-truncated bbox, counted in TileBinning.n_dropped.
+    max_tiles_per_splat: int = 32
 
     @property
     def image_shape(self) -> Tuple[int, int]:

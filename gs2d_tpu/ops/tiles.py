@@ -116,7 +116,7 @@ def bin_splats(
     p: GaussianParams,
     cfg: SplatConfig,
     max_per_tile: int,
-    dup_capacity: int | None = None,
+    dup_capacity: int | None = None,  # unused (kept for API compat)
     max_tiles_per_splat: int | None = None,
 ) -> TileBinning:
     """Build the per-tile splat lists (index order preserved within a tile).
@@ -133,13 +133,7 @@ def bin_splats(
     n = p.pos.shape[0]
     n_tiles = cfg.n_tiles_y * cfg.n_tiles_x
     if max_tiles_per_splat is None:
-        # A sigma<=10 splat at 3 sigma spans <= ceil(60/tile_h)+1 tile rows x
-        # ceil(60/tile_w)+1 cols; 64 is generous for the clamped default
-        # init. Overflow is counted in n_dropped, never silent.
-        max_tiles_per_splat = 64
-    if dup_capacity is None:
-        dup_capacity = max(16 * n, 4096)
-
+        max_tiles_per_splat = cfg.max_tiles_per_splat
     tx0, tx1, ty0, ty1, offscreen = splat_tile_bbox(p, cfg)
     w_t = tx1 - tx0 + 1
     h_t = ty1 - ty0 + 1
@@ -147,22 +141,16 @@ def bin_splats(
     count = jnp.minimum(count_full, max_tiles_per_splat)
     dropped_bbox = jnp.sum(count_full - count)
 
-    # Offsets of each splat's duplicate run.
-    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                               jnp.cumsum(count, dtype=jnp.int32)])
-    total = offsets[-1]
-    dropped_cap = jnp.maximum(total - dup_capacity, 0)
-
-    # Expand: for duplicate slot j of splat i, tile = linear index over the
-    # splat's tile bbox; scatter packed keys into the flat buffer.
+    # Dense expansion: one key per (splat, slot) -- dead slots get the max
+    # key and sort to the end. Sorting the dense (N * cap) array directly
+    # avoids the compaction scatter entirely (TPU scatters are slow; sorts
+    # are fine).
     slot = jnp.arange(max_tiles_per_splat, dtype=jnp.int32)
     local_y = slot[None, :] // jnp.maximum(w_t, 1)[:, None]
     local_x = slot[None, :] % jnp.maximum(w_t, 1)[:, None]
     tile_id = ((ty0[:, None] + local_y) * cfg.n_tiles_x
                + tx0[:, None] + local_x).astype(jnp.int32)
     live = slot[None, :] < count[:, None]
-    dest = offsets[:-1][:, None] + slot[None, :]
-    dest = jnp.where(live & (dest < dup_capacity), dest, dup_capacity)
 
     splat_bits = max((n - 1).bit_length(), 1)
     use_i64 = splat_bits + max(n_tiles.bit_length(), 1) >= 31
@@ -174,28 +162,22 @@ def bin_splats(
     splat_ids = jnp.arange(n, dtype=jnp.int32)[:, None] * jnp.ones_like(slot)[None, :]
     if key_dtype is not None:
         shift = jnp.array(1 << splat_bits, key_dtype)
-        pad_key = jnp.array(
-            jnp.iinfo(key_dtype).max, key_dtype)
+        pad_key = jnp.array(jnp.iinfo(key_dtype).max, key_dtype)
         key = tile_id.astype(key_dtype) * shift + splat_ids.astype(key_dtype)
-        buf = jnp.full((dup_capacity + 1,), pad_key)
-        buf = buf.at[dest.reshape(-1)].set(
-            jnp.where(live, key, pad_key).reshape(-1), mode="drop")
-        sorted_key = jax.lax.sort(buf[:dup_capacity])
-        sorted_tile = (sorted_key >> splat_bits).astype(jnp.int32)
+        key = jnp.where(live, key, pad_key).reshape(-1)
+        sorted_key = jax.lax.sort(key)
         mask_live = sorted_key != pad_key
-        sorted_tile = jnp.where(mask_live, sorted_tile, jnp.int32(0x7FFFFFFF))
+        sorted_tile = jnp.where(
+            mask_live, (sorted_key >> splat_bits).astype(jnp.int32),
+            jnp.int32(0x7FFFFFFF))
         sorted_splat = jnp.where(
-            mask_live,
-            (sorted_key & (shift - 1)).astype(jnp.int32), jnp.int32(-1))
+            mask_live, (sorted_key & (shift - 1)).astype(jnp.int32),
+            jnp.int32(-1))
     else:  # pragma: no cover - huge configs without x64
-        pair_tile = jnp.full((dup_capacity + 1,), jnp.int32(0x7FFFFFFF))
-        pair_splat = jnp.full((dup_capacity + 1,), jnp.int32(-1))
-        pair_tile = pair_tile.at[dest.reshape(-1)].set(
-            jnp.where(live, tile_id, 0x7FFFFFFF).reshape(-1), mode="drop")
-        pair_splat = pair_splat.at[dest.reshape(-1)].set(
-            jnp.where(live, splat_ids, -1).reshape(-1), mode="drop")
+        pair_tile = jnp.where(live, tile_id, jnp.int32(0x7FFFFFFF)).reshape(-1)
+        pair_splat = jnp.where(live, splat_ids, jnp.int32(-1)).reshape(-1)
         sorted_tile, sorted_splat = jax.lax.sort(
-            (pair_tile[:dup_capacity], pair_splat[:dup_capacity]), num_keys=2)
+            (pair_tile, pair_splat), num_keys=2)
 
     # Per-tile run start and length.
     starts = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32),
@@ -213,9 +195,12 @@ def bin_splats(
     gidx = jnp.where(valid, gidx, 0)
     ids = jnp.where(valid, sorted_splat[gidx], -1)
 
-    fields = packed_fields(p)  # (F, N)
+    # Pre-gather packed params row-major ((N, F) rows are contiguous 64-byte
+    # fetches, far friendlier to the TPU gather unit than per-field column
+    # gathers), then transpose to the kernels' (n_tiles, F, K) layout.
+    fields_rows = jnp.transpose(packed_fields(p))  # (N, F)
     safe_ids = jnp.where(ids >= 0, ids, 0)
-    tp = fields[:, safe_ids]                      # (F, n_tiles, K)
+    tp = fields_rows[safe_ids]                     # (n_tiles, K, F)
     # Benign padding: opacity 0 (no contribution), unit scales/inverse-cov
     # (no 0/0 in gradient formulas), h = -1 (empty row range). This keeps
     # padded slots NaN-free so kernels may process them unguarded (needed by
@@ -224,12 +209,12 @@ def bin_splats(
     pad_vals = pad_vals.at[jnp.array([FIELD_A, FIELD_D, FIELD_SX, FIELD_SY,
                                       FIELD_COS])].set(1.0)
     pad_vals = pad_vals.at[FIELD_H].set(-1.0)
-    tp = jnp.where(valid[None, :, :], tp, pad_vals[:, None, None])
-    tile_params = jnp.transpose(tp, (1, 0, 2))    # (n_tiles, F, K)
+    tp = jnp.where(valid[:, :, None], tp, pad_vals[None, None, :])
+    tile_params = jnp.transpose(tp, (0, 2, 1))     # (n_tiles, F, K)
 
     return TileBinning(
         ids=ids,
         tile_params=tile_params,
         count=tile_count,
-        n_dropped=(dropped_bbox + dropped_cap + dropped_tile).astype(jnp.int32),
+        n_dropped=(dropped_bbox + dropped_tile).astype(jnp.int32),
     )

@@ -117,12 +117,65 @@ def _ordered_monoid_fold(C_loc, T_loc, axis: str):
     return fin, T_fin, C_in, T_in
 
 
-def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh):
+def _ordered_monoid_scan(C_loc, T_loc, axis: str):
+    """Log-depth distributed ordered combine (Hillis-Steele over ppermute).
+
+    The blend monoid  combine((Ca,Ta),(Cb,Tb)) = (Ca + Ta*Cb, Ta*Tb)  is
+    scanned across the splat-shard axis with log2(S) neighbour shifts over
+    ICI instead of an S-wide all_gather: per link each round moves one band,
+    so comm volume is O(band * log S) vs O(band * S). Returns the same
+    (fin, T_fin, C_in, T_in) as ``_ordered_monoid_fold``.
+    """
+    s = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+
+    def combine(older, newer):
+        (Ca, Ta), (Cb, Tb) = older, newer
+        return Ca + Ta[..., None] * Cb, Ta * Tb
+
+    # Inclusive prefix: after round j, acc_d = combine of shards
+    # [max(0, d - 2^j + 1), d].
+    acc = (C_loc, T_loc)
+    shift = 1
+    while shift < s:
+        perm = [(i, (i + shift) % s) for i in range(s)]
+        recv = (jax.lax.ppermute(acc[0], axis, perm),
+                jax.lax.ppermute(acc[1], axis, perm))
+        merged = combine(recv, acc)
+        use = idx >= shift
+        acc = (jnp.where(use, merged[0], acc[0]),
+               jnp.where(use, merged[1], acc[1]))
+        shift *= 2
+
+    # Total (for gC) to every shard: select the last shard's inclusive
+    # prefix and broadcast with a masked psum.
+    is_last = idx == s - 1
+    fin = jax.lax.psum(jnp.where(is_last, acc[0], 0.0), axis)
+    T_fin = jax.lax.psum(jnp.where(is_last, acc[1], 0.0), axis)
+
+    # Exclusive prefix entering this shard: previous shard's inclusive acc.
+    perm1 = [(i, (i + 1) % s) for i in range(s)]
+    C_prev = jax.lax.ppermute(acc[0], axis, perm1)
+    T_prev = jax.lax.ppermute(acc[1], axis, perm1)
+    first = idx == 0
+    C_in = jnp.where(first, jnp.zeros_like(C_prev), C_prev)
+    T_in = jnp.where(first, jnp.ones_like(T_prev), T_prev)
+    return fin, T_fin, C_in, T_in
+
+
+def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
+                            combine: str = "fold"):
     """Build the jitted multi-device train step.
 
     State is batched (B, N, ...) and sharded (data, splat); targets are
-    (B, Hp, Wp, 3) sharded (data, tile). Returns (step_fn, shardings dict).
+    (B, Hp, Wp, 3) sharded (data, tile). ``combine`` picks the splat-axis
+    ordered-combine implementation: "fold" (all_gather + on-chip prefix,
+    best for small shard counts) or "scan" (log-depth ppermute rounds, best
+    for long ICI rings). Returns (step_fn, shardings dict).
     """
+    if combine not in ("fold", "scan"):
+        raise ValueError(f"unknown combine {combine!r}")
+    monoid = _ordered_monoid_fold if combine == "fold" else _ordered_monoid_scan
     n_tile = mesh.shape[TILE_AXIS]
     n_splat = mesh.shape[SPLAT_AXIS]
     if cfg.padded_height % n_tile:
@@ -141,7 +194,7 @@ def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh):
 
         C_loc, T_loc = render_forward_band(params, cfg_shard, y0, band_h)
         if n_splat > 1:
-            fin, _, C_in, T_in = _ordered_monoid_fold(C_loc, T_loc, SPLAT_AXIS)
+            fin, _, C_in, T_in = monoid(C_loc, T_loc, SPLAT_AXIS)
             carry_in = (C_in, T_in)
         else:
             fin = C_loc

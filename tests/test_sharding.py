@@ -127,3 +127,25 @@ class TestShardedTraining:
         cfg = cfg_for(n_splats=50)  # 50 doesn't divide by 4
         with pytest.raises(ValueError):
             make_sharded_train_step(cfg, make_mesh(splat=4))
+
+
+class TestRingScanCombine:
+    @pytest.mark.parametrize("splat", [2, 4, 8])
+    def test_scan_matches_fold(self, splat):
+        """The log-depth ppermute ordered combine == the all_gather fold."""
+        cfg = cfg_for(64, min_throughput=0.0)
+        ref = jnp.asarray(synthetic_target(H, W))
+        mesh = make_mesh(splat=splat)
+        refs = pad_ref_batch(ref[None], cfg)
+        out = {}
+        for combine in ("fold", "scan"):
+            step, sh = make_sharded_train_step(cfg, mesh, combine=combine)
+            state = jax.device_put(init_batched_state(cfg, 1), sh["state"])
+            r = jax.device_put(refs, sh["ref"])
+            new_state, aux = step(state, r)
+            out[combine] = (new_state, float(aux.mse[0]))
+        a, b = out["fold"][0], out["scan"][0]
+        for x, y in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5, atol=2e-4)
+        assert np.isclose(out["fold"][1], out["scan"][1], rtol=1e-5)
