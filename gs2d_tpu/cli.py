@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --out")
+    p.add_argument("--recover", action="store_true",
+                   help="on non-finite parameters, restore the latest "
+                        "checkpoint with halved lr instead of aborting")
     p.add_argument("--save-render-every", type=int, default=0)
     p.add_argument("--densify-every", type=int, default=0,
                    help="run densify/prune every N iterations (0 = off)")
@@ -109,6 +112,22 @@ def main(argv=None) -> int:
         for rec in hist:
             logger.log(**rec)
         print(f"done (sharded over {mesh.shape})")
+        return 0
+
+    if args.recover:
+        from gs2d_tpu.train.loop import fit_with_recovery
+        if ck is None:
+            ck = Checkpointer(os.path.join(args.out, "checkpoints"))
+        state, hist, n_rec = fit_with_recovery(
+            refj, cfg, args.iters, ck, render_fn=render_fn,
+            checkpoint_every=args.checkpoint_every or 100,
+            log_every=args.log_every)
+        for rec in hist:
+            logger.log(**rec)
+        img = render_fn(state.params, cfg)
+        save_image(os.path.join(args.out, "render_final.png"),
+                   jax.device_get(img))
+        print(f"done ({n_rec} recoveries)")
         return 0
 
     tc = ThroughputCounter(h, w, args.splats)

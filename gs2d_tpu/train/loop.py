@@ -221,3 +221,57 @@ def make_train_step_fused(cfg: SplatConfig):
         )
 
     return train_step
+
+
+def fit_with_recovery(
+    ref: jax.Array,
+    cfg: SplatConfig,
+    iterations: int,
+    checkpointer,
+    render_fn: Optional[RenderFn] = None,
+    checkpoint_every: int = 100,
+    max_recoveries: int = 3,
+    lr_backoff: float = 0.5,
+    log_every: int = 0,
+    log_fn=print,
+):
+    """Failure-tolerant fitting: the reference hard-aborts on non-finite
+    parameters (main.cpp:752-785); here the NaN tripwire triggers a restore
+    from the latest checkpoint with the learning rate backed off (a divergent
+    step replayed identically would fault identically), up to
+    ``max_recoveries`` times.
+
+    Returns (state, history, n_recoveries).
+    """
+    state = init_train_state(cfg)
+    step0, state = checkpointer.restore_latest(state)
+    done = step0 or 0
+    recoveries = 0
+    history = []
+
+    def ckpt(s, it):
+        checkpointer.save(done + it, s, cfg)
+
+    while done < iterations:
+        try:
+            state, hist = fit(
+                ref, cfg, iterations - done, render_fn=render_fn, state=state,
+                log_every=log_every, log_fn=log_fn,
+                checkpoint_every=checkpoint_every, checkpoint_fn=ckpt)
+            for rec in hist:
+                rec["iter"] += done
+            history.extend(hist)
+            done = iterations
+        except FloatingPointError:
+            recoveries += 1
+            if recoveries > max_recoveries:
+                raise
+            cfg = cfg.replace(learning_rate=cfg.learning_rate * lr_backoff)
+            step0, state = checkpointer.restore_latest(init_train_state(cfg))
+            restored = step0 or 0
+            if log_fn:
+                log_fn(f"non-finite parameters: restored checkpoint "
+                       f"{restored}, lr backed off to {cfg.learning_rate}")
+            done = restored
+    checkpointer.save(iterations, state, cfg)
+    return state, history, recoveries

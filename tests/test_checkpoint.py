@@ -64,3 +64,39 @@ class TestNpzFormat:
         assert cfg2 == cfg
         restored = load_npz(p, init_train_state(cfg))
         _assert_states_equal(state, restored)
+
+
+class TestElasticRecovery:
+    def test_recovers_from_nan(self, tmp_path):
+        """Inject a NaN mid-fit; the driver must restore the checkpoint,
+        back off lr, and complete."""
+        import gs2d_tpu.train.loop as loop_mod
+        from gs2d_tpu.train.loop import fit_with_recovery
+
+        cfg = SplatConfig(width=W, height=H, n_splats=16)
+        ref = jnp.asarray(synthetic_target(H, W))
+        ck = Checkpointer(str(tmp_path / "ck"), use_orbax=False)
+
+        calls = {"n": 0}
+        orig_fit = loop_mod.fit
+
+        def sabotaged_fit(*args, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                # run 3 real iterations (checkpointing), then fault
+                st, hist = orig_fit(*args[:2], 3, **{k: v for k, v in kw.items()
+                                                     if k != "iterations"})
+                raise FloatingPointError("injected")
+            return orig_fit(*args, **kw)
+
+        loop_mod.fit = sabotaged_fit
+        try:
+            state, hist, n_rec = fit_with_recovery(
+                ref, cfg, iterations=6, checkpointer=ck,
+                checkpoint_every=2, log_fn=None)
+        finally:
+            loop_mod.fit = orig_fit
+        assert n_rec == 1
+        assert ck.latest_step() == 6
+        for leaf in jax.tree.leaves(state.params):
+            assert bool(jnp.isfinite(leaf).all())
