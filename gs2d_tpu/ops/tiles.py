@@ -118,6 +118,7 @@ def bin_splats(
     max_per_tile: int,
     dup_capacity: int | None = None,  # unused (kept for API compat)
     max_tiles_per_splat: int | None = None,
+    _force_lexsort: bool = False,
 ) -> TileBinning:
     """Build the per-tile splat lists (index order preserved within a tile).
 
@@ -155,7 +156,7 @@ def bin_splats(
     splat_bits = max((n - 1).bit_length(), 1)
     use_i64 = splat_bits + max(n_tiles.bit_length(), 1) >= 31
     key_dtype = jnp.int64 if use_i64 else jnp.int32
-    if use_i64 and not jax.config.read("jax_enable_x64"):
+    if _force_lexsort or (use_i64 and not jax.config.read("jax_enable_x64")):
         # int64 keys need x64; fall back to a (tile, splat) lexsort.
         key_dtype = None
 
@@ -173,7 +174,7 @@ def bin_splats(
         sorted_splat = jnp.where(
             mask_live, (sorted_key & (shift - 1)).astype(jnp.int32),
             jnp.int32(-1))
-    else:  # pragma: no cover - huge configs without x64
+    else:  # huge configs without x64 (and the forced-test path)
         pair_tile = jnp.where(live, tile_id, jnp.int32(0x7FFFFFFF)).reshape(-1)
         pair_splat = jnp.where(live, splat_ids, jnp.int32(-1)).reshape(-1)
         sorted_tile, sorted_splat = jax.lax.sort(

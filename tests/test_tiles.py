@@ -113,3 +113,16 @@ class TestPallasBackward:
         state, hist = fit(ref, cfg, iterations=30, render_fn=rp.render,
                           log_every=10, log_fn=None)
         assert hist[-1]["mse"] < hist[0]["mse"] * 0.8
+
+
+class TestLexsortFallback:
+    def test_matches_packed_key_path(self, rng):
+        """The (tile, splat) two-key sort path (used when packed keys would
+        overflow int32 and x64 is off) must bin identically."""
+        cfg, s, p = make_case(rng, 96)
+        a = tl.bin_splats(p, cfg, 96)
+        b = tl.bin_splats(p, cfg, 96, _force_lexsort=True)
+        np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+        np.testing.assert_array_equal(np.asarray(a.count), np.asarray(b.count))
+        np.testing.assert_array_equal(
+            np.asarray(a.tile_params), np.asarray(b.tile_params))
