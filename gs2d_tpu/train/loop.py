@@ -275,3 +275,42 @@ def fit_with_recovery(
             done = restored
     checkpointer.save(iterations, state, cfg)
     return state, history, recoveries
+
+
+def make_batched_train_step_fused(cfg: SplatConfig):
+    """Multi-image single-device train step: vmap of the fused Pallas path.
+
+    State is batched (B, N, ...) (see parallel.sharded.init_batched_state);
+    targets are pre-padded (B, 1, 3, Hp, Wp). Each image owns an independent
+    splat population (the data-parallel axis collapsed onto one chip --
+    vmap turns the batch into an extra kernel grid dimension).
+    """
+    from gs2d_tpu.ops import render_pallas as rp
+    from gs2d_tpu.ops import tiles as tl
+
+    k = rp._max_per_tile(cfg)
+
+    def one_image(params, opt, ref_chw):
+        binning = tl.bin_splats(params, cfg, k)
+        color, grads = rp.l2_render_and_grads(
+            binning, ref_chw, cfg.n_splats, cfg)
+        new_params, new_opt = adam_update(params, grads, opt, cfg)
+        ref_crop = jnp.transpose(
+            ref_chw[0], (1, 2, 0))[: cfg.height, : cfg.width]
+        mse = mse_255(color, ref_crop)
+        return new_params, new_opt, mse
+
+    @jax.jit
+    def train_step(state: TrainState, refs_chw: jax.Array):
+        params, opt, mse = jax.vmap(one_image)(
+            state.params, state.opt, refs_chw)
+        finite = jnp.all(
+            jnp.array(
+                [jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree.leaves(params)]
+            )
+        )
+        return TrainState(params=params, opt=opt), StepAux(
+            mse=mse, psnr=psnr_from_mse(mse),
+            all_finite=jnp.broadcast_to(finite, mse.shape))
+
+    return train_step

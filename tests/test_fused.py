@@ -1,0 +1,105 @@
+"""Fused L2 train path (single and chunked) vs the reference scan path,
+in interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gs2d_tpu.config import SplatConfig
+from gs2d_tpu.io.image import synthetic_target
+from gs2d_tpu.ops import render_pallas as rp
+from gs2d_tpu.ops import tiles as tl
+from gs2d_tpu.ops.render_jax import render_backward, render_forward
+from gs2d_tpu.train.loop import init_train_state, make_train_step, \
+    make_train_step_fused
+from tests.helpers import random_splats, to_params
+
+H, W = 48, 64
+
+
+def case(rng, n, **kw):
+    cfg = SplatConfig(width=W, height=H, n_splats=n, **kw)
+    s = random_splats(rng, n, W, H)
+    ref = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+    return cfg, to_params(s), ref
+
+
+class TestFusedKernel:
+    @pytest.mark.parametrize("chunk", [None, 64])
+    def test_matches_scan_path(self, rng, chunk):
+        cfg, p, ref = case(rng, 128)
+        b = tl.bin_splats(p, cfg, 128)
+        refc = rp.pad_ref_chw(jnp.asarray(ref), cfg)
+        if chunk is None:
+            C, g = rp.l2_render_and_grads(b, refc, 128, cfg)
+        else:
+            C, g = rp.l2_render_and_grads_chunked(b, refc, 128, cfg,
+                                                  chunk=chunk)
+        C1, _ = render_forward(p, cfg)
+        g1 = render_backward(p, C1, C1 - jnp.asarray(ref), cfg)
+        np.testing.assert_allclose(np.asarray(C), np.asarray(C1), atol=3e-7)
+        for f in ("pos", "sx", "sy", "rot", "color", "opacity"):
+            a, c = np.asarray(getattr(g1, f)), np.asarray(getattr(g, f))
+            atol = 1e-4 * max(1.0, np.abs(a).max())
+            np.testing.assert_allclose(c, a, atol=atol, err_msg=f)
+
+    def test_train_step_fused_matches_modular(self, rng):
+        """One optimizer step via the fused kernel == via the custom-VJP
+        scan path (same Adam, same cotangent)."""
+        cfg = SplatConfig(width=W, height=H, n_splats=64,
+                          max_splats_per_tile=64)
+        ref = synthetic_target(H, W)
+        state = init_train_state(cfg)
+
+        fused = make_train_step_fused(cfg)
+        refc = rp.pad_ref_chw(jnp.asarray(ref), cfg)
+        s_f, aux_f = fused(state, refc)
+
+        modular = make_train_step(cfg)
+        s_m, aux_m = modular(state, jnp.asarray(ref))
+
+        assert np.isclose(float(aux_f.mse), float(aux_m.mse), rtol=1e-5)
+        for f in ("pos", "sx", "sy", "rot", "color", "opacity"):
+            a = np.asarray(getattr(s_m.params, f))
+            c = np.asarray(getattr(s_f.params, f))
+            np.testing.assert_allclose(c, a, rtol=1e-4, atol=2e-3, err_msg=f)
+
+    def test_fused_convergence(self, rng):
+        cfg = SplatConfig(width=W, height=H, n_splats=64,
+                          max_splats_per_tile=64)
+        ref = synthetic_target(H, W)
+        refc = rp.pad_ref_chw(jnp.asarray(ref), cfg)
+        step = make_train_step_fused(cfg)
+        state = init_train_state(cfg)
+        first = None
+        for i in range(25):
+            state, aux = step(state, refc)
+            if first is None:
+                first = float(aux.mse)
+        assert float(aux.mse) < first * 0.7
+
+
+class TestBatchedFused:
+    def test_batch_matches_per_image(self, rng):
+        from gs2d_tpu.parallel.sharded import init_batched_state
+        from gs2d_tpu.train.loop import make_batched_train_step_fused
+
+        cfg = SplatConfig(width=W, height=H, n_splats=32,
+                          max_splats_per_tile=32)
+        refs = np.stack([synthetic_target(H, W, seed=s) for s in (0, 2)])
+        refs_chw = jnp.stack([rp.pad_ref_chw(jnp.asarray(r), cfg)
+                              for r in refs])
+        state = init_batched_state(cfg, 2)
+        bstep = make_batched_train_step_fused(cfg)
+        bstate, baux = bstep(state, refs_chw)
+
+        sstep = make_train_step_fused(cfg)
+        for i in range(2):
+            s_i = jax.tree.map(lambda x: x[i], state)
+            out_i, aux_i = sstep(s_i, refs_chw[i])
+            assert np.isclose(float(baux.mse[i]), float(aux_i.mse), rtol=1e-6)
+            for f in ("pos", "color"):
+                np.testing.assert_allclose(
+                    np.asarray(getattr(bstate.params, f))[i],
+                    np.asarray(getattr(out_i.params, f)), atol=1e-6)
