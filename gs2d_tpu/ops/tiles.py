@@ -118,18 +118,13 @@ def bin_splats(
     max_per_tile: int,
     dup_capacity: int | None = None,  # unused (kept for API compat)
     max_tiles_per_splat: int | None = None,
-    _force_lexsort: bool = False,
+    _force_segmented: bool = False,
 ) -> TileBinning:
     """Build the per-tile splat lists (index order preserved within a tile).
 
     max_tiles_per_splat caps the duplicate expansion per splat (a splat
     covering more tiles gets its bbox truncated; counted in n_dropped).
 
-    Sorting uses a single packed int key (tile_id * 2^splat_bits + splat_id
-    when it fits in int32, int64 otherwise): one direct value sort replaces
-    argsort+gathers, and because the splat id occupies the low bits the sort
-    itself yields per-tile runs in splat index order -- the compositing-order
-    contract (Form.pdf p2) with no stable-sort requirement.
     """
     n = p.pos.shape[0]
     n_tiles = cfg.n_tiles_y * cfg.n_tiles_x
@@ -153,48 +148,69 @@ def bin_splats(
                + tx0[:, None] + local_x).astype(jnp.int32)
     live = slot[None, :] < count[:, None]
 
+    # Key packing: tile_id in the high bits, splat id (or segment-local id)
+    # in the low bits, so a plain value sort yields per-tile runs already in
+    # splat index order (the compositing-order contract, Form.pdf p2). When
+    # tile_bits + splat_bits would overflow int31, the splat axis is cut into
+    # segments that each fit: every segment sorts independently (one batched
+    # lax.sort) and tiles stitch their per-segment runs in segment order --
+    # segment s's splats all precede segment s+1's, so order is preserved.
+    tile_bits = max(n_tiles.bit_length(), 1)
     splat_bits = max((n - 1).bit_length(), 1)
-    use_i64 = splat_bits + max(n_tiles.bit_length(), 1) >= 31
-    key_dtype = jnp.int64 if use_i64 else jnp.int32
-    if _force_lexsort or (use_i64 and not jax.config.read("jax_enable_x64")):
-        # int64 keys need x64; fall back to a (tile, splat) lexsort.
-        key_dtype = None
+    seg_bits = min(splat_bits, 30 - tile_bits)
+    if seg_bits <= 0:
+        raise ValueError(f"too many tiles for int32 keys: {n_tiles}")
+    n_seg_cap = 1 << seg_bits
+    n_segments = -(-n // n_seg_cap)
+    if _force_segmented and n_segments == 1:
+        n_segments, n_seg_cap = 2, -(-n // 2)
+    nseg = -(-n // n_segments)  # splats per segment (last padded)
 
     splat_ids = jnp.arange(n, dtype=jnp.int32)[:, None] * jnp.ones_like(slot)[None, :]
-    if key_dtype is not None:
-        shift = jnp.array(1 << splat_bits, key_dtype)
-        pad_key = jnp.array(jnp.iinfo(key_dtype).max, key_dtype)
-        key = tile_id.astype(key_dtype) * shift + splat_ids.astype(key_dtype)
-        key = jnp.where(live, key, pad_key).reshape(-1)
-        sorted_key = jax.lax.sort(key)
-        mask_live = sorted_key != pad_key
-        sorted_tile = jnp.where(
-            mask_live, (sorted_key >> splat_bits).astype(jnp.int32),
-            jnp.int32(0x7FFFFFFF))
-        sorted_splat = jnp.where(
-            mask_live, (sorted_key & (shift - 1)).astype(jnp.int32),
-            jnp.int32(-1))
-    else:  # huge configs without x64 (and the forced-test path)
-        pair_tile = jnp.where(live, tile_id, jnp.int32(0x7FFFFFFF)).reshape(-1)
-        pair_splat = jnp.where(live, splat_ids, jnp.int32(-1)).reshape(-1)
-        sorted_tile, sorted_splat = jax.lax.sort(
-            (pair_tile, pair_splat), num_keys=2)
+    local_bits = max((nseg - 1).bit_length(), 1)
+    shift = jnp.int32(1 << local_bits)
+    pad_key = jnp.int32(jnp.iinfo(jnp.int32).max)
+    local_id = splat_ids % jnp.int32(nseg)
+    key = tile_id * shift + local_id
+    key = jnp.where(live, key, pad_key)
 
-    # Per-tile run start and length.
-    starts = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32),
-                              side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32),
-                            side="right").astype(jnp.int32)
-    tile_count_full = ends - starts
+    pad_rows = n_segments * nseg - n
+    if pad_rows:
+        key = jnp.concatenate(
+            [key, jnp.full((pad_rows, max_tiles_per_splat), pad_key)], axis=0)
+    key = key.reshape(n_segments, nseg * max_tiles_per_splat)
+    sorted_key = jax.lax.sort(key, dimension=-1)   # (S, nseg*cap), batched
+
+    mask_live = sorted_key != pad_key
+    seg_tile = jnp.where(mask_live, sorted_key >> local_bits,
+                         jnp.int32(0x7FFFFFFF))   # (S, M)
+    seg_local = jnp.where(mask_live, sorted_key & (shift - 1), jnp.int32(-1))
+
+    # Per-(segment, tile) runs.
+    tiles_iota = jnp.arange(n_tiles, dtype=jnp.int32)
+    seg_starts = jax.vmap(
+        lambda row: jnp.searchsorted(row, tiles_iota, side="left"))(
+            seg_tile).astype(jnp.int32)            # (S, n_tiles)
+    seg_ends = jax.vmap(
+        lambda row: jnp.searchsorted(row, tiles_iota, side="right"))(
+            seg_tile).astype(jnp.int32)
+    seg_counts = seg_ends - seg_starts             # (S, n_tiles)
+    # Stitch: tile t's list is segment 0's run, then segment 1's, ...
+    tile_count_full = jnp.sum(seg_counts, axis=0)
     tile_count = jnp.minimum(tile_count_full, max_per_tile)
     dropped_tile = jnp.sum(tile_count_full - tile_count)
 
-    # Gather each tile's run into the padded (n_tiles, K) matrix.
+    base = jnp.cumsum(seg_counts, axis=0) - seg_counts  # (S, n_tiles) excl.
     k = jnp.arange(max_per_tile, dtype=jnp.int32)
-    gidx = starts[:, None] + k[None, :]
+    ids = jnp.full((n_tiles, max_per_tile), jnp.int32(-1))
+    for s in range(n_segments):
+        pos = k[None, :] - base[s][:, None]                  # (n_tiles, K)
+        in_seg = (pos >= 0) & (pos < seg_counts[s][:, None]) \
+            & (k[None, :] < tile_count[:, None])
+        gidx = jnp.where(in_seg, seg_starts[s][:, None] + pos, 0)
+        got = seg_local[s][gidx] + jnp.int32(s * nseg)
+        ids = jnp.where(in_seg, got, ids)
     valid = k[None, :] < tile_count[:, None]
-    gidx = jnp.where(valid, gidx, 0)
-    ids = jnp.where(valid, sorted_splat[gidx], -1)
 
     # Pre-gather packed params row-major ((N, F) rows are contiguous 64-byte
     # fetches, far friendlier to the TPU gather unit than per-field column

@@ -115,13 +115,13 @@ class TestPallasBackward:
         assert hist[-1]["mse"] < hist[0]["mse"] * 0.8
 
 
-class TestLexsortFallback:
-    def test_matches_packed_key_path(self, rng):
-        """The (tile, splat) two-key sort path (used when packed keys would
-        overflow int32 and x64 is off) must bin identically."""
+class TestSegmentedSortFallback:
+    def test_matches_single_segment_path(self, rng):
+        """The segmented sort (used when packed keys would overflow int32 at
+        huge N) must bin identically to the single-segment path."""
         cfg, s, p = make_case(rng, 96)
         a = tl.bin_splats(p, cfg, 96)
-        b = tl.bin_splats(p, cfg, 96, _force_lexsort=True)
+        b = tl.bin_splats(p, cfg, 96, _force_segmented=True)
         np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
         np.testing.assert_array_equal(np.asarray(a.count), np.asarray(b.count))
         np.testing.assert_array_equal(
