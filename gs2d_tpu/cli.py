@@ -148,7 +148,8 @@ def main(argv=None) -> int:
             refj, cfg, iterations=n, render_fn=render_fn, state=state,
             log_every=args.log_every, log_fn=log_fn,
             checkpoint_every=args.checkpoint_every,
-            checkpoint_fn=on_ckpt if ck else None)
+            checkpoint_fn=on_ckpt if ck else None,
+            use_fused=use_pallas)
         for rec in hist:
             rec["iter"] += it_done[0]
             logger.log(**rec)

@@ -39,7 +39,7 @@ from gs2d_tpu.params import GaussianParams
 
 # Gradient sublane indices in the backward kernel output.
 G_PX, G_PY, G_SX, G_SY, G_ROT, G_CR, G_CG, G_CB, G_OP = range(9)
-N_GRAD_FIELDS = 16  # padded for sublane alignment
+N_GRAD_FIELDS = 9  # one sublane per gradient field
 
 
 def _exp_term(x, use_approx: bool):
@@ -62,7 +62,7 @@ def _splat_terms(params_ref, k, fx, fy, xx, yy, inside, T, cfg: SplatConfig):
     """Shared per-splat coverage + alpha over the tile (both kernels).
 
     Returns (live_mask, alpha, G, vx, vy, scalars dict)."""
-    f = lambda i: params_ref[0, i, k]
+    f = lambda i: params_ref[0, k, i]
     px, py = f(tl.FIELD_PX), f(tl.FIELD_PY)
     a, b, d = f(tl.FIELD_A), f(tl.FIELD_B), f(tl.FIELD_D)
     h = f(tl.FIELD_H)
@@ -138,7 +138,7 @@ def _forward_kernel(count_ref, params_ref, color_ref, trans_ref, *, cfg: SplatCo
     yy, xx, fy, fx, inside = _tile_coords(cfg)
     th, tw = cfg.tile_h, cfg.tile_w
     n_live = count_ref[pl.program_id(0) * cfg.n_tiles_x + pl.program_id(1)]
-    u = _unrolled(params_ref.shape[2])
+    u = _unrolled(params_ref.shape[1])
 
     def body(c, carry):
         for i in range(u):
@@ -184,8 +184,7 @@ def _backward_kernel(count_ref, params_ref, fin_ref, gc_ref, grads_ref,
     _, gacc = jax.lax.fori_loop(
         0, (n_live + u - 1) // u, body,
         (comp0, jnp.zeros((9, n_k), jnp.float32)))
-    grads_ref[0] = jnp.concatenate(
-        [gacc, jnp.zeros((N_GRAD_FIELDS - 9, n_k), jnp.float32)], axis=0)
+    grads_ref[0] = gacc
 
 
 def _bwd_splat_step(params_ref, k, fx, fy, xx, yy, inside, cfg,
@@ -279,7 +278,7 @@ def forward_tiled(
         grid=(gy, gx),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tl.N_FIELDS, k), lambda i, j, gx=gx: (i * gx + j, 0, 0),
+            pl.BlockSpec((1, k, tl.N_FIELDS), lambda i, j, gx=gx: (i * gx + j, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -331,7 +330,7 @@ def backward_tiled(
         grid=(gy, gx),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tl.N_FIELDS, k), lambda i, j, gx=gx: (i * gx + j, 0, 0),
+            pl.BlockSpec((1, k, tl.N_FIELDS), lambda i, j, gx=gx: (i * gx + j, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3, th, tw), lambda i, j: (0, 0, i, j),
                          memory_space=pltpu.VMEM),
@@ -394,7 +393,7 @@ def _l2_fused_kernel(count_ref, params_ref, ref_ref, color_ref, grads_ref,
     n_live = count_ref[pl.program_id(0) * cfg.n_tiles_x + pl.program_id(1)]
 
     # ---- pass 1: forward composite --------------------------------------
-    u = _unrolled(params_ref.shape[2])
+    u = _unrolled(params_ref.shape[1])
 
     def fwd_body(c, carry):
         for i in range(u):
@@ -432,8 +431,7 @@ def _l2_fused_kernel(count_ref, params_ref, ref_ref, color_ref, grads_ref,
     _, gacc = jax.lax.fori_loop(
         0, (n_live + u - 1) // u, bwd_body,
         (comp0, jnp.zeros((9, n_k), jnp.float32)))
-    grads_ref[0] = jnp.concatenate(
-        [gacc, jnp.zeros((N_GRAD_FIELDS - 9, n_k), jnp.float32)], axis=0)
+    grads_ref[0] = gacc
 
 
 def _segment_grads(binning: tl.TileBinning, partial: jax.Array,
@@ -483,7 +481,7 @@ def l2_render_and_grads(
         grid=(gy, gx),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tl.N_FIELDS, k), lambda i, j, gx=gx: (i * gx + j, 0, 0),
+            pl.BlockSpec((1, k, tl.N_FIELDS), lambda i, j, gx=gx: (i * gx + j, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3, th, tw), lambda i, j: (0, 0, i, j),
                          memory_space=pltpu.VMEM),
@@ -608,9 +606,7 @@ def _l2_chunked_kernel(count_ref, params_ref, ref_ref,
             c1_ref[0, 1] = cg
             c1_ref[0, 2] = cb
             t1_ref[0] = T
-            grads_ref[0] = jnp.concatenate(
-                [gacc, jnp.zeros((N_GRAD_FIELDS - 9, kc), jnp.float32)],
-                axis=0)
+            grads_ref[0] = gacc
 
 
 def _tile_coords_grid(cfg: SplatConfig, tile_idx):
@@ -656,7 +652,7 @@ def l2_render_and_grads_chunked(
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tl.N_FIELDS, kc), lambda t, p, c: (t, 0, c),
+            pl.BlockSpec((1, kc, tl.N_FIELDS), lambda t, p, c: (t, c, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3, th, tw),
                          lambda t, p, c, gx=gx: (0, 0, t // gx, t % gx),

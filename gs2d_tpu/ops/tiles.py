@@ -55,7 +55,7 @@ class TileBinning(NamedTuple):
     """Static-shaped binning of splats onto screen tiles."""
 
     ids: jax.Array          # (n_tiles, K) int32 splat ids, -1 padding
-    tile_params: jax.Array  # (n_tiles, N_FIELDS, K) f32 packed params
+    tile_params: jax.Array  # (n_tiles, K, N_FIELDS) f32 packed params
     count: jax.Array        # (n_tiles,) int32 live entries per tile
     n_dropped: jax.Array    # scalar int32: entries lost to capacity caps
 
@@ -226,8 +226,9 @@ def bin_splats(
     pad_vals = pad_vals.at[jnp.array([FIELD_A, FIELD_D, FIELD_SX, FIELD_SY,
                                       FIELD_COS])].set(1.0)
     pad_vals = pad_vals.at[FIELD_H].set(-1.0)
-    tp = jnp.where(valid[:, :, None], tp, pad_vals[None, None, :])
-    tile_params = jnp.transpose(tp, (0, 2, 1))     # (n_tiles, F, K)
+    tile_params = jnp.where(valid[:, :, None], tp, pad_vals[None, None, :])
+    # layout (n_tiles, K, F): gather-output order, no 800MB transpose; the
+    # kernels read per-splat scalars from SMEM where layout is free.
 
     return TileBinning(
         ids=ids,

@@ -143,15 +143,24 @@ def fit(
     checkpoint_every: int = 0,
     checkpoint_fn=None,
     raise_on_nonfinite: bool = True,
+    use_fused: bool = False,
 ):
     """Host driver for the fitting loop (the reference's while-NextFrame loop,
     main.cpp:334-851, minus the GUI).
 
-    Returns (state, history) where history is a list of per-logged-step dicts.
+    ``use_fused`` switches to the fused Pallas L2 train step (production
+    path; ignores ``render_fn``). Returns (state, history) where history is
+    a list of per-logged-step dicts.
     """
     if state is None:
         state = init_train_state(cfg)
-    step_fn = make_train_step(cfg, render_fn)
+    if use_fused:
+        from gs2d_tpu.ops import render_pallas as rp
+
+        step_fn = make_train_step_fused(cfg)
+        ref = rp.pad_ref_chw(jnp.asarray(ref), cfg)
+    else:
+        step_fn = make_train_step(cfg, render_fn)
     history = []
     t0 = time.perf_counter()
 
