@@ -39,7 +39,7 @@ from gs2d_tpu.params import GaussianParams
 
 # Gradient sublane indices in the backward kernel output.
 G_PX, G_PY, G_SX, G_SY, G_ROT, G_CR, G_CG, G_CB, G_OP = range(9)
-N_GRAD_FIELDS = 9  # one sublane per gradient field
+N_GRAD_FIELDS = 16  # 9 used; padded to 16 sublanes for aligned DMA
 
 
 def _exp_term(x, use_approx: bool):
@@ -184,7 +184,8 @@ def _backward_kernel(count_ref, params_ref, fin_ref, gc_ref, grads_ref,
     _, gacc = jax.lax.fori_loop(
         0, (n_live + u - 1) // u, body,
         (comp0, jnp.zeros((9, n_k), jnp.float32)))
-    grads_ref[0] = gacc
+    grads_ref[0] = jnp.concatenate(
+        [gacc, jnp.zeros((N_GRAD_FIELDS - 9, n_k), jnp.float32)], axis=0)
 
 
 def _bwd_splat_step(params_ref, k, fx, fy, xx, yy, inside, cfg,
@@ -431,7 +432,8 @@ def _l2_fused_kernel(count_ref, params_ref, ref_ref, color_ref, grads_ref,
     _, gacc = jax.lax.fori_loop(
         0, (n_live + u - 1) // u, bwd_body,
         (comp0, jnp.zeros((9, n_k), jnp.float32)))
-    grads_ref[0] = gacc
+    grads_ref[0] = jnp.concatenate(
+        [gacc, jnp.zeros((N_GRAD_FIELDS - 9, n_k), jnp.float32)], axis=0)
 
 
 def _segment_grads(binning: tl.TileBinning, partial: jax.Array,
@@ -606,7 +608,9 @@ def _l2_chunked_kernel(count_ref, params_ref, ref_ref,
             c1_ref[0, 1] = cg
             c1_ref[0, 2] = cb
             t1_ref[0] = T
-            grads_ref[0] = gacc
+            grads_ref[0] = jnp.concatenate(
+                [gacc, jnp.zeros((N_GRAD_FIELDS - 9, kc), jnp.float32)],
+                axis=0)
 
 
 def _tile_coords_grid(cfg: SplatConfig, tile_idx):

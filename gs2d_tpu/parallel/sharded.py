@@ -27,8 +27,7 @@ bit-for-bit.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +37,7 @@ from gs2d_tpu.config import SplatConfig
 from gs2d_tpu.ops.render_jax import render_backward_band, render_forward_band
 from gs2d_tpu.params import GaussianParams
 from gs2d_tpu.parallel.mesh import DATA_AXIS, SPLAT_AXIS, TILE_AXIS
-from gs2d_tpu.train.adam import adam_update, init_adam_state
+from gs2d_tpu.train.adam import adam_update
 from gs2d_tpu.train.loop import StepAux, TrainState, init_train_state
 from gs2d_tpu.train.metrics import psnr_from_mse
 

@@ -9,7 +9,7 @@ import pytest
 from gs2d_tpu.config import SplatConfig
 from gs2d_tpu.io.checkpoint import Checkpointer, load_npz, load_npz_config, save_npz
 from gs2d_tpu.io.image import synthetic_target
-from gs2d_tpu.train.loop import fit, init_train_state, make_train_step
+from gs2d_tpu.train.loop import fit, init_train_state
 
 H, W = 32, 64
 

@@ -8,7 +8,7 @@ from gs2d_tpu.config import SplatConfig
 from gs2d_tpu.io.image import synthetic_target
 from gs2d_tpu.ops.render_jax import l2_loss
 from gs2d_tpu.train.densify import (
-    DEAD_POS, DensifyConfig, densify_and_prune, live_mask, n_live)
+    DEAD_POS, densify_and_prune, live_mask, n_live)
 from gs2d_tpu.train.loop import fit, init_train_state
 
 H, W = 32, 64

@@ -4,7 +4,6 @@ composited color is bounded by the color simplex, renders are bitwise
 deterministic, and the compositing monoid is associative."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from gs2d_tpu.config import SplatConfig
