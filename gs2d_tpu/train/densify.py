@@ -155,3 +155,14 @@ def densify_and_prune(
         beta1t=opt.beta1t, beta2t=opt.beta2t, step=opt.step,
     )
     return TrainState(params=new_params, opt=new_opt)
+
+
+def densify_and_prune_batched(state: TrainState, pos_grad_mag, cfg,
+                              dcfg: DensifyConfig = DensifyConfig(),
+                              seed: int = 0) -> TrainState:
+    """Batched (B, N, ...) version for multi-image populations."""
+    import jax
+
+    return jax.vmap(
+        lambda s, g: densify_and_prune(s, g, cfg, dcfg, seed)
+    )(state, pos_grad_mag)
