@@ -103,3 +103,22 @@ class TestBatchedFused:
                 np.testing.assert_allclose(
                     np.asarray(getattr(bstate.params, f))[i],
                     np.asarray(getattr(out_i.params, f)), atol=1e-6)
+
+
+class TestMxuVariant:
+    def test_matches_scan_path_interpret(self, rng):
+        """Experimental MXU formulation: allclose (not bitwise -- d2 comes
+        from a coefficient matmul) to the reference scan path."""
+        from gs2d_tpu.ops.render_pallas_mxu import l2_render_and_grads_mxu
+
+        cfg, p, ref = case(rng, 128)
+        b = tl.bin_splats(p, cfg, 128)
+        refc = rp.pad_ref_chw(jnp.asarray(ref), cfg)
+        C, g = l2_render_and_grads_mxu(b, refc, 128, cfg, chunk=64)
+        C1, _ = render_forward(p, cfg)
+        g1 = render_backward(p, C1, C1 - jnp.asarray(ref), cfg)
+        np.testing.assert_allclose(np.asarray(C), np.asarray(C1), atol=5e-5)
+        for f in ("pos", "sx", "sy", "rot", "color", "opacity"):
+            a, c = np.asarray(getattr(g1, f)), np.asarray(getattr(g, f))
+            atol = 2e-3 * max(1.0, np.abs(a).max())
+            np.testing.assert_allclose(c, a, atol=atol, err_msg=f)
