@@ -144,6 +144,7 @@ def fit(
     checkpoint_fn=None,
     raise_on_nonfinite: bool = True,
     use_fused: bool = False,
+    sync_every: int = 32,
 ):
     """Host driver for the fitting loop (the reference's while-NextFrame loop,
     main.cpp:334-851, minus the GUI).
@@ -176,6 +177,10 @@ def fit(
     aux = None
     for it in range(iterations):
         state, aux = step_fn(state, ref)
+        # Bound the async dispatch queue: the tunneled TPU runtime degrades
+        # badly past ~100 queued executions, so fetch a scalar periodically.
+        if sync_every and it % sync_every == sync_every - 1:
+            float(aux.mse)
         if log_every and (it % log_every == 0 or it == iterations - 1):
             check_finite(aux, it)
             mse = float(aux.mse)
