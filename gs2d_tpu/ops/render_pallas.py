@@ -156,8 +156,8 @@ def _forward_kernel(count_ref, params_ref, color_ref, trans_ref, *, cfg: SplatCo
     trans_ref[0] = T
 
 
-def _backward_kernel(count_ref, params_ref, fin_ref, gc_ref, grads_ref,
-                     *, cfg: SplatConfig):
+def _backward_kernel(count_ref, params_ref, fin_ref, gc_ref, c_in_ref,
+                     t_in_ref, grads_ref, *, cfg: SplatConfig):
     yy, xx, fy, fx, inside = _tile_coords(cfg)
     th, tw = cfg.tile_h, cfg.tile_w
     n_live = count_ref[pl.program_id(0) * cfg.n_tiles_x + pl.program_id(1)]
@@ -179,8 +179,9 @@ def _backward_kernel(count_ref, params_ref, fin_ref, gc_ref, grads_ref,
             gacc = gacc + col * oh
         return comp, gacc
 
-    zero = jnp.zeros((th, tw), jnp.float32)
-    comp0 = (zero, zero, zero, jnp.ones((th, tw), jnp.float32))
+    # Replay carry entering this tile: under splat sharding this is the
+    # ordered-monoid prefix of earlier shards; identity otherwise.
+    comp0 = (c_in_ref[0, 0], c_in_ref[0, 1], c_in_ref[0, 2], t_in_ref[0])
     _, gacc = jax.lax.fori_loop(
         0, (n_live + u - 1) // u, body,
         (comp0, jnp.zeros((9, n_k), jnp.float32)))
@@ -307,9 +308,14 @@ def backward_tiled(
     g_color: jax.Array,
     n_splats: int,
     cfg: SplatConfig,
+    carry_in=None,
     interpret: bool | None = None,
 ) -> GaussianParams:
-    """Analytic parameter gradients from a tile binning + upstream cotangent."""
+    """Analytic parameter gradients from a tile binning + upstream cotangent.
+
+    ``carry_in`` = (C_in (H,W,3), T_in (H,W)) is the composite state entering
+    this splat shard (the ordered-monoid prefix under splat-axis sharding);
+    identity when None."""
     if interpret is None:
         interpret = _should_interpret()
     k = binning.ids.shape[1]
@@ -325,6 +331,13 @@ def backward_tiled(
 
     fin = pad_chw(final_color)
     gc = pad_chw(g_color)
+    if carry_in is None:
+        c_in = jnp.zeros((1, 3, hp, wp), jnp.float32)
+        t_in = jnp.ones((1, hp, wp), jnp.float32)
+    else:
+        c_in = pad_chw(carry_in[0])
+        t_in = jnp.ones((1, hp, wp), jnp.float32).at[
+            0, : cfg.height, : cfg.width].set(carry_in[1])
 
     partial = pl.pallas_call(
         functools.partial(_backward_kernel, cfg=cfg),
@@ -337,13 +350,17 @@ def backward_tiled(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, th, tw), lambda i, j: (0, 0, i, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, th, tw), lambda i, j: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, N_GRAD_FIELDS, k), lambda i, j, gx=gx: (i * gx + j, 0, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, N_GRAD_FIELDS, k), jnp.float32),
         interpret=interpret,
-    )(binning.count, binning.tile_params, fin, gc)
+    )(binning.count, binning.tile_params, fin, gc, c_in, t_in)
 
     return _segment_grads(binning, partial, n_splats)
 

@@ -163,17 +163,23 @@ def _ordered_monoid_scan(C_loc, T_loc, axis: str):
 
 
 def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
-                            combine: str = "fold"):
+                            combine: str = "fold",
+                            renderer: str = "scan"):
     """Build the jitted multi-device train step.
 
     State is batched (B, N, ...) and sharded (data, splat); targets are
     (B, Hp, Wp, 3) sharded (data, tile). ``combine`` picks the splat-axis
     ordered-combine implementation: "fold" (all_gather + on-chip prefix,
     best for small shard counts) or "scan" (log-depth ppermute rounds, best
-    for long ICI rings). Returns (step_fn, shardings dict).
+    for long ICI rings). ``renderer`` picks the per-shard rasterizer:
+    "scan" (lax.scan reference path, any mesh) or "pallas" (production tile
+    kernels; currently requires tile axis == 1 -- each device rasterizes the
+    full image for its splat shard). Returns (step_fn, shardings dict).
     """
     if combine not in ("fold", "scan"):
         raise ValueError(f"unknown combine {combine!r}")
+    if renderer not in ("scan", "pallas"):
+        raise ValueError(f"unknown renderer {renderer!r}")
     monoid = _ordered_monoid_fold if combine == "fold" else _ordered_monoid_scan
     n_tile = mesh.shape[TILE_AXIS]
     n_splat = mesh.shape[SPLAT_AXIS]
@@ -184,6 +190,9 @@ def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
     if cfg.n_splats % n_splat:
         raise ValueError("n_splats must divide over the splat axis")
     band_h = cfg.padded_height // n_tile
+    if renderer == "pallas" and n_tile != 1:
+        raise ValueError("renderer='pallas' currently requires tile axis 1 "
+                         "(band-offset tile grids are a round-2 item)")
     # Sharded splat axis -> exact associative monoid (threshold off).
     cfg_shard = cfg.replace(min_throughput=0.0) if n_splat > 1 else cfg
     n_real_px = cfg.height * cfg.width * 3
@@ -191,7 +200,21 @@ def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
     def one_image_step(params: GaussianParams, opt, ref_band):
         y0 = jax.lax.axis_index(TILE_AXIS) * band_h
 
-        C_loc, T_loc = render_forward_band(params, cfg_shard, y0, band_h)
+        if renderer == "pallas":
+            from gs2d_tpu.ops import render_pallas as rp
+            from gs2d_tpu.ops import tiles as tlmod
+
+            k = cfg.max_splats_per_tile or rp._max_per_tile(cfg)
+            binning = tlmod.bin_splats(params, cfg_shard, k)
+            C_img, T_img = rp.forward_tiled(binning, cfg_shard)
+            # Pad to the band grid the monoid/metrics code expects.
+            C_loc = jnp.zeros((band_h, cfg.padded_width, 3), jnp.float32)
+            C_loc = C_loc.at[: cfg.height, : cfg.width].set(C_img)
+            T_loc = jnp.ones((band_h, cfg.padded_width), jnp.float32)
+            T_loc = T_loc.at[: cfg.height, : cfg.width].set(T_img)
+        else:
+            C_loc, T_loc = render_forward_band(params, cfg_shard, y0, band_h)
+
         if n_splat > 1:
             fin, _, C_in, T_in = monoid(C_loc, T_loc, SPLAT_AXIS)
             carry_in = (C_in, T_in)
@@ -200,8 +223,16 @@ def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
             carry_in = None
 
         gC = fin - ref_band  # dL/dC of the L2 objective (main.cpp:616)
-        grads = render_backward_band(
-            params, fin, gC, cfg_shard, y0, band_h, carry_in)
+        if renderer == "pallas":
+            crop = lambda x: x[: cfg.height, : cfg.width]
+            carry_crop = None if carry_in is None else (
+                crop(carry_in[0]), crop(carry_in[1]))
+            grads = rp.backward_tiled(
+                binning, crop(fin), crop(gC), params.pos.shape[0], cfg_shard,
+                carry_in=carry_crop)
+        else:
+            grads = render_backward_band(
+                params, fin, gC, cfg_shard, y0, band_h, carry_in)
         # Gradient all-reduce over the pixel-band axis (ICI).
         grads = jax.lax.psum(grads, TILE_AXIS)
 

@@ -149,3 +149,32 @@ class TestRingScanCombine:
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=1e-5, atol=2e-4)
         assert np.isclose(out["fold"][1], out["scan"][1], rtol=1e-5)
+
+
+class TestShardedPallasRenderer:
+    @pytest.mark.parametrize("splat", [1, 2, 4])
+    def test_pallas_matches_scan(self, splat):
+        """Splat-sharded Pallas rasterization == the scan path on the same
+        mesh (interpret-mode kernels inside shard_map)."""
+        cfg = cfg_for(32, min_throughput=0.0, max_splats_per_tile=32)
+        ref = jnp.asarray(synthetic_target(H, W))
+        mesh = make_mesh(splat=splat)
+        refs = pad_ref_batch(ref[None], cfg)
+        out = {}
+        for renderer in ("scan", "pallas"):
+            step, sh = make_sharded_train_step(cfg, mesh, renderer=renderer)
+            state = jax.device_put(init_batched_state(cfg, 1), sh["state"])
+            r = jax.device_put(refs, sh["ref"])
+            new_state, aux = step(state, r)
+            out[renderer] = (new_state, float(aux.mse[0]))
+        assert np.isclose(out["scan"][1], out["pallas"][1], rtol=1e-5)
+        for x, y in zip(jax.tree.leaves(out["scan"][0].params),
+                        jax.tree.leaves(out["pallas"][0].params)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-4, atol=2e-3)
+
+    def test_pallas_requires_tile1(self):
+        cfg = cfg_for(32)
+        with pytest.raises(ValueError):
+            make_sharded_train_step(cfg, make_mesh(tile=2),
+                                    renderer="pallas")
