@@ -51,8 +51,12 @@ class StepAux(NamedTuple):
 RenderFn = Callable[[GaussianParams, SplatConfig], jax.Array]
 
 
+@functools.lru_cache(maxsize=32)
 def make_train_step(cfg: SplatConfig, render_fn: Optional[RenderFn] = None):
     """Build a jitted train step closed over the static config.
+
+    Memoized on (cfg, render_fn) so repeated fit() calls (densify blocks,
+    resume) reuse the compiled step instead of re-tracing.
 
     ``render_fn`` must be differentiable w.r.t. params (the default is the
     scan renderer with the analytic custom VJP; the Pallas tile renderer plugs
@@ -201,8 +205,10 @@ def fit(
     return state, history
 
 
+@functools.lru_cache(maxsize=32)
 def make_train_step_fused(cfg: SplatConfig):
-    """Production single-device train step: fused Pallas L2 kernel.
+    """Production single-device train step: fused Pallas L2 kernel (memoized
+    on cfg so repeated fit() calls reuse the compiled step).
 
     One kernel does forward + cotangent + backward per tile; Adam and the
     metrics fuse around it in XLA. The target must be pre-padded once with
