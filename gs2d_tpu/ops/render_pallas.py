@@ -105,12 +105,13 @@ def _splat_terms(params_ref, k, fx, fy, xx, yy, inside, T, cfg: SplatConfig):
     }
 
 
-def _tile_coords(cfg: SplatConfig):
-    """Integer pixel coords + centers for the current grid tile."""
+def _tile_coords(cfg: SplatConfig, row0_px=0):
+    """Integer pixel coords + centers for the current grid tile; ``row0_px``
+    offsets rows into global coordinates for band rendering."""
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     th, tw = cfg.tile_h, cfg.tile_w
-    yy = ti * th + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+    yy = row0_px + ti * th + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
     xx = tj * tw + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
     fy = yy.astype(jnp.float32) + jnp.float32(0.5)
     fx = xx.astype(jnp.float32) + jnp.float32(0.5)
@@ -134,8 +135,9 @@ def _fwd_one(params_ref, k, fx, fy, xx, yy, inside, cfg, carry):
             jnp.where(live, T * (jnp.float32(1.0) - alpha), T))
 
 
-def _forward_kernel(count_ref, params_ref, color_ref, trans_ref, *, cfg: SplatConfig):
-    yy, xx, fy, fx, inside = _tile_coords(cfg)
+def _forward_kernel(off_ref, count_ref, params_ref, color_ref, trans_ref,
+                    *, cfg: SplatConfig):
+    yy, xx, fy, fx, inside = _tile_coords(cfg, off_ref[0])
     th, tw = cfg.tile_h, cfg.tile_w
     n_live = count_ref[pl.program_id(0) * cfg.n_tiles_x + pl.program_id(1)]
     u = _unrolled(params_ref.shape[1])
@@ -156,9 +158,9 @@ def _forward_kernel(count_ref, params_ref, color_ref, trans_ref, *, cfg: SplatCo
     trans_ref[0] = T
 
 
-def _backward_kernel(count_ref, params_ref, fin_ref, gc_ref, c_in_ref,
-                     t_in_ref, grads_ref, *, cfg: SplatConfig):
-    yy, xx, fy, fx, inside = _tile_coords(cfg)
+def _backward_kernel(off_ref, count_ref, params_ref, fin_ref, gc_ref,
+                     c_in_ref, t_in_ref, grads_ref, *, cfg: SplatConfig):
+    yy, xx, fy, fx, inside = _tile_coords(cfg, off_ref[0])
     th, tw = cfg.tile_h, cfg.tile_w
     n_live = count_ref[pl.program_id(0) * cfg.n_tiles_x + pl.program_id(1)]
 
@@ -265,20 +267,28 @@ def _should_interpret() -> bool:
 
 
 def forward_tiled(
-    binning: tl.TileBinning, cfg: SplatConfig, interpret: bool | None = None
+    binning: tl.TileBinning, cfg: SplatConfig, interpret: bool | None = None,
+    band_row0=0, band_rows: int | None = None, crop: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Rasterize from a tile binning. Returns (color (H,W,3), T (H,W))."""
+    """Rasterize from a tile binning. Returns (color (H,W,3), T (H,W)).
+
+    With ``band_row0``/``band_rows`` the binning and outputs cover only that
+    band of tile rows (global pixel coordinates; used by tile-axis
+    sharding). ``crop=False`` keeps the padded band shape."""
     if interpret is None:
         interpret = _should_interpret()
     k = binning.ids.shape[1]
-    gy, gx = cfg.n_tiles_y, cfg.n_tiles_x
-    n_tiles = gy * gx
+    gy = cfg.n_tiles_y if band_rows is None else band_rows
+    gx = cfg.n_tiles_x
     th, tw = cfg.tile_h, cfg.tile_w
+    band_hp = gy * th
+    off = jnp.asarray([jnp.asarray(band_row0, jnp.int32) * th], jnp.int32)
 
     color, trans = pl.pallas_call(
         functools.partial(_forward_kernel, cfg=cfg),
         grid=(gy, gx),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, k, tl.N_FIELDS), lambda i, j, gx=gx: (i * gx + j, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -290,16 +300,19 @@ def forward_tiled(
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, 3, cfg.padded_height, cfg.padded_width),
+            jax.ShapeDtypeStruct((1, 3, band_hp, cfg.padded_width),
                                  jnp.float32),
-            jax.ShapeDtypeStruct((1, cfg.padded_height, cfg.padded_width),
+            jax.ShapeDtypeStruct((1, band_hp, cfg.padded_width),
                                  jnp.float32),
         ],
         interpret=interpret,
-    )(binning.count, binning.tile_params)
+    )(off, binning.count, binning.tile_params)
 
-    color = jnp.transpose(color[0], (1, 2, 0))[: cfg.height, : cfg.width]
-    return color, trans[0, : cfg.height, : cfg.width]
+    color = jnp.transpose(color[0], (1, 2, 0))
+    trans = trans[0]
+    if crop and band_rows is None:
+        return color[: cfg.height, : cfg.width], trans[: cfg.height, : cfg.width]
+    return color, trans
 
 
 def backward_tiled(
@@ -310,21 +323,30 @@ def backward_tiled(
     cfg: SplatConfig,
     carry_in=None,
     interpret: bool | None = None,
+    band_row0=0,
+    band_rows: int | None = None,
 ) -> GaussianParams:
     """Analytic parameter gradients from a tile binning + upstream cotangent.
 
-    ``carry_in`` = (C_in (H,W,3), T_in (H,W)) is the composite state entering
-    this splat shard (the ordered-monoid prefix under splat-axis sharding);
-    identity when None."""
+    ``carry_in`` = (C_in, T_in) is the composite state entering this splat
+    shard (the ordered-monoid prefix under splat-axis sharding); identity
+    when None. With band args, all images are band-shaped (band_rows*tile_h,
+    padded width) and already padded (no crop)."""
     if interpret is None:
         interpret = _should_interpret()
     k = binning.ids.shape[1]
-    gy, gx = cfg.n_tiles_y, cfg.n_tiles_x
+    banded = band_rows is not None
+    gy = band_rows if banded else cfg.n_tiles_y
+    gx = cfg.n_tiles_x
     n_tiles = gy * gx
     th, tw = cfg.tile_h, cfg.tile_w
-    hp, wp = cfg.padded_height, cfg.padded_width
+    hp = gy * th
+    wp = cfg.padded_width
+    off = jnp.asarray([jnp.asarray(band_row0, jnp.int32) * th], jnp.int32)
 
     def pad_chw(img):
+        if banded:  # already padded band-shaped
+            return jnp.transpose(img, (2, 0, 1))[None]
         out = jnp.zeros((1, 3, hp, wp), jnp.float32)
         return out.at[0, :, : cfg.height, : cfg.width].set(
             jnp.transpose(img, (2, 0, 1)))
@@ -334,6 +356,9 @@ def backward_tiled(
     if carry_in is None:
         c_in = jnp.zeros((1, 3, hp, wp), jnp.float32)
         t_in = jnp.ones((1, hp, wp), jnp.float32)
+    elif banded:
+        c_in = pad_chw(carry_in[0])
+        t_in = carry_in[1][None]
     else:
         c_in = pad_chw(carry_in[0])
         t_in = jnp.ones((1, hp, wp), jnp.float32).at[
@@ -343,6 +368,7 @@ def backward_tiled(
         functools.partial(_backward_kernel, cfg=cfg),
         grid=(gy, gx),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, k, tl.N_FIELDS), lambda i, j, gx=gx: (i * gx + j, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -360,7 +386,7 @@ def backward_tiled(
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, N_GRAD_FIELDS, k), jnp.float32),
         interpret=interpret,
-    )(binning.count, binning.tile_params, fin, gc, c_in, t_in)
+    )(off, binning.count, binning.tile_params, fin, gc, c_in, t_in)
 
     return _segment_grads(binning, partial, n_splats)
 

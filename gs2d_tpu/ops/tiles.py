@@ -119,18 +119,32 @@ def bin_splats(
     dup_capacity: int | None = None,  # unused (kept for API compat)
     max_tiles_per_splat: int | None = None,
     _force_segmented: bool = False,
+    band_row0=0,
+    band_rows: int | None = None,
 ) -> TileBinning:
     """Build the per-tile splat lists (index order preserved within a tile).
 
     max_tiles_per_splat caps the duplicate expansion per splat (a splat
     covering more tiles gets its bbox truncated; counted in n_dropped).
 
+    ``band_row0`` (traced ok) / ``band_rows`` (static) restrict binning to a
+    horizontal band of tile rows -- the unit of tile-axis sharding. Tile ids
+    in the result are band-local.
     """
     n = p.pos.shape[0]
-    n_tiles = cfg.n_tiles_y * cfg.n_tiles_x
+    if band_rows is None:
+        band_rows = cfg.n_tiles_y
+        band_row0 = 0
+    n_tiles = band_rows * cfg.n_tiles_x
     if max_tiles_per_splat is None:
         max_tiles_per_splat = cfg.max_tiles_per_splat
     tx0, tx1, ty0, ty1, offscreen = splat_tile_bbox(p, cfg)
+    # Shift to band-local tile rows and clip.
+    band_row0 = jnp.asarray(band_row0, jnp.int32)
+    offscreen = offscreen | (ty1 < band_row0) \
+        | (ty0 > band_row0 + (band_rows - 1))
+    ty0 = jnp.clip(ty0 - band_row0, 0, band_rows - 1)
+    ty1 = jnp.clip(ty1 - band_row0, 0, band_rows - 1)
     w_t = tx1 - tx0 + 1
     h_t = ty1 - ty0 + 1
     count_full = jnp.where(offscreen, 0, w_t * h_t)

@@ -190,9 +190,10 @@ def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
     if cfg.n_splats % n_splat:
         raise ValueError("n_splats must divide over the splat axis")
     band_h = cfg.padded_height // n_tile
-    if renderer == "pallas" and n_tile != 1:
-        raise ValueError("renderer='pallas' currently requires tile axis 1 "
-                         "(band-offset tile grids are a round-2 item)")
+    if renderer == "pallas" and band_h % cfg.tile_h:
+        raise ValueError("tile-axis bands must align to tile_h for the "
+                         "pallas renderer")
+    band_tile_rows = band_h // cfg.tile_h
     # Sharded splat axis -> exact associative monoid (threshold off).
     cfg_shard = cfg.replace(min_throughput=0.0) if n_splat > 1 else cfg
     n_real_px = cfg.height * cfg.width * 3
@@ -205,13 +206,13 @@ def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
             from gs2d_tpu.ops import tiles as tlmod
 
             k = cfg.max_splats_per_tile or rp._max_per_tile(cfg)
-            binning = tlmod.bin_splats(params, cfg_shard, k)
-            C_img, T_img = rp.forward_tiled(binning, cfg_shard)
-            # Pad to the band grid the monoid/metrics code expects.
-            C_loc = jnp.zeros((band_h, cfg.padded_width, 3), jnp.float32)
-            C_loc = C_loc.at[: cfg.height, : cfg.width].set(C_img)
-            T_loc = jnp.ones((band_h, cfg.padded_width), jnp.float32)
-            T_loc = T_loc.at[: cfg.height, : cfg.width].set(T_img)
+            band_r0 = jax.lax.axis_index(TILE_AXIS) * band_tile_rows
+            binning = tlmod.bin_splats(params, cfg_shard, k,
+                                       band_row0=band_r0,
+                                       band_rows=band_tile_rows)
+            C_loc, T_loc = rp.forward_tiled(
+                binning, cfg_shard, band_row0=band_r0,
+                band_rows=band_tile_rows, crop=False)
         else:
             C_loc, T_loc = render_forward_band(params, cfg_shard, y0, band_h)
 
@@ -224,12 +225,10 @@ def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
 
         gC = fin - ref_band  # dL/dC of the L2 objective (main.cpp:616)
         if renderer == "pallas":
-            crop = lambda x: x[: cfg.height, : cfg.width]
-            carry_crop = None if carry_in is None else (
-                crop(carry_in[0]), crop(carry_in[1]))
             grads = rp.backward_tiled(
-                binning, crop(fin), crop(gC), params.pos.shape[0], cfg_shard,
-                carry_in=carry_crop)
+                binning, fin, gC, params.pos.shape[0], cfg_shard,
+                carry_in=carry_in, band_row0=band_r0,
+                band_rows=band_tile_rows)
         else:
             grads = render_backward_band(
                 params, fin, gC, cfg_shard, y0, band_h, carry_in)

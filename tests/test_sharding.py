@@ -152,18 +152,24 @@ class TestRingScanCombine:
 
 
 class TestShardedPallasRenderer:
-    @pytest.mark.parametrize("splat", [1, 2, 4])
-    def test_pallas_matches_scan(self, splat):
-        """Splat-sharded Pallas rasterization == the scan path on the same
-        mesh (interpret-mode kernels inside shard_map)."""
+    @pytest.mark.parametrize("axes", [
+        {"splat": 1}, {"splat": 2}, {"splat": 4},
+        {"tile": 2}, {"tile": 4}, {"tile": 2, "splat": 2},
+        {"data": 2, "tile": 2, "splat": 2},
+    ], ids=lambda a: "x".join(f"{k}{v}" for k, v in a.items()))
+    def test_pallas_matches_scan(self, axes):
+        """Sharded Pallas rasterization == the scan path on the same mesh
+        (interpret-mode kernels inside shard_map), for splat, tile, and
+        combined sharding."""
         cfg = cfg_for(32, min_throughput=0.0, max_splats_per_tile=32)
         ref = jnp.asarray(synthetic_target(H, W))
-        mesh = make_mesh(splat=splat)
-        refs = pad_ref_batch(ref[None], cfg)
+        mesh = make_mesh(**axes)
+        batch = axes.get("data", 1)
+        refs = pad_ref_batch(jnp.broadcast_to(ref[None], (batch, H, W, 3)), cfg)
         out = {}
         for renderer in ("scan", "pallas"):
             step, sh = make_sharded_train_step(cfg, mesh, renderer=renderer)
-            state = jax.device_put(init_batched_state(cfg, 1), sh["state"])
+            state = jax.device_put(init_batched_state(cfg, batch), sh["state"])
             r = jax.device_put(refs, sh["ref"])
             new_state, aux = step(state, r)
             out[renderer] = (new_state, float(aux.mse[0]))
@@ -172,9 +178,3 @@ class TestShardedPallasRenderer:
                         jax.tree.leaves(out["pallas"][0].params)):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=1e-4, atol=2e-3)
-
-    def test_pallas_requires_tile1(self):
-        cfg = cfg_for(32)
-        with pytest.raises(ValueError):
-            make_sharded_train_step(cfg, make_mesh(tile=2),
-                                    renderer="pallas")
