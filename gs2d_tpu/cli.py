@@ -108,7 +108,8 @@ def main(argv=None) -> int:
         mesh = make_mesh(data=data, tile=tile, splat=splat)
         state_b, hist = fit_sharded(
             refj[None], cfg, mesh, iterations=args.iters,
-            log_every=args.log_every)
+            log_every=args.log_every,
+            renderer="pallas" if use_pallas else "scan")
         for rec in hist:
             logger.log(**rec)
         print(f"done (sharded over {mesh.shape})")

@@ -296,18 +296,24 @@ def fit_sharded(
     state: Optional[TrainState] = None,
     log_every: int = 0,
     log_fn=print,
+    combine: str = "fold",
+    renderer: str = "scan",
 ):
     """Host driver for multi-device fitting over a batch of targets."""
     refs = pad_ref_batch(jnp.asarray(refs), cfg)
     batch = refs.shape[0]
     if state is None:
         state = init_batched_state(cfg, batch)
-    step, shardings = make_sharded_train_step(cfg, mesh)
+    step, shardings = make_sharded_train_step(cfg, mesh, combine=combine,
+                                              renderer=renderer)
     state = jax.device_put(state, shardings["state"])
     refs = jax.device_put(refs, shardings["ref"])
     history = []
     for it in range(iterations):
         state, aux = step(state, refs)
+        if it % 32 == 31:  # bound the dispatch queue (see train/loop.py)
+            jax.block_until_ready(aux.mse)
+            float(aux.mse[0])
         if log_every and (it % log_every == 0 or it == iterations - 1):
             mse = [float(m) for m in aux.mse]
             history.append({"iter": it, "mse": mse})
