@@ -26,8 +26,8 @@ def main():
     from gs2d_tpu.config import SplatConfig
     from gs2d_tpu.io.image import load_asset
     from gs2d_tpu.ops import render_pallas
-    from gs2d_tpu.train.loop import (init_train_state, make_train_step,
-                                     make_train_step_fused)
+    from gs2d_tpu.train.loop import (init_train_state, make_fit_scan_fused,
+                                     make_train_step)
 
     ref = load_asset("squirrel_cls_mini.jpg")
     h, w = ref.shape[:2]
@@ -35,26 +35,33 @@ def main():
                       max_splats_per_tile=256)
 
     on_tpu = jax.default_backend() not in ("cpu",)
+    state = init_train_state(cfg)
+    # NOTE: completion is forced by fetching a scalar -- on the tunneled TPU
+    # runtime block_until_ready alone does not reliably wait.
     if on_tpu:
+        # Production shape: iterations run as one on-device lax.scan program
+        # (make_fit_scan_fused), so host dispatch and tunnel latency are out
+        # of the measured loop entirely.
         refj = render_pallas.pad_ref_chw(jnp.asarray(ref), cfg)
-        step = make_train_step_fused(cfg)
+        iters = 200
+        fit_k = make_fit_scan_fused(cfg)
+        state, auxes = fit_k(state, refj, iters)  # warmup/compile
+        float(auxes.mse[-1])
+        t0 = time.perf_counter()
+        state, auxes = fit_k(state, refj, iters)
+        float(auxes.mse[-1])
+        dt = (time.perf_counter() - t0) / iters
     else:
         refj = jnp.asarray(ref)
         step = make_train_step(cfg)
-
-    state = init_train_state(cfg)
-    # Warmup / compile. NOTE: completion is forced by fetching the scalar
-    # value -- on the tunneled TPU runtime block_until_ready alone does not
-    # reliably wait for remote execution.
-    state, aux = step(state, refj)
-    float(aux.mse)
-
-    iters = 100 if on_tpu else 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
         state, aux = step(state, refj)
-    float(aux.mse)
-    dt = (time.perf_counter() - t0) / iters
+        float(aux.mse)
+        iters = 20
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, aux = step(state, refj)
+        float(aux.mse)
+        dt = (time.perf_counter() - t0) / iters
 
     iters_per_s = 1.0 / dt
     print(json.dumps({

@@ -45,7 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-render-every", type=int, default=0)
     p.add_argument("--densify-every", type=int, default=0,
                    help="run densify/prune every N iterations (0 = off)")
-    p.add_argument("--scan-chunk", type=int, default=0, help=argparse.SUPPRESS)
+    p.add_argument("--scan-chunk", type=int, default=0,
+                   help="run iterations in on-device lax.scan blocks of this "
+                        "size (0 = one dispatch per iteration); removes host "
+                        "round-trips -- fastest on a remote TPU")
     p.add_argument("--max-per-tile", type=int, default=0,
                    help="per-tile splat capacity for the pallas path")
     p.add_argument("--mesh", default="",
@@ -139,7 +142,9 @@ def main(argv=None) -> int:
         print(msg)
 
     def on_ckpt(state, it):
-        ck.save(start_iter + it, state, cfg)
+        # ``it`` is block-relative (fit() restarts at 0 each densify block);
+        # it_done[0] tracks the global iteration across blocks and resume.
+        ck.save(it_done[0] + it, state, cfg)
 
     remaining = args.iters
     block = args.densify_every if args.densify_every else remaining
@@ -150,7 +155,7 @@ def main(argv=None) -> int:
             log_every=args.log_every, log_fn=log_fn,
             checkpoint_every=args.checkpoint_every,
             checkpoint_fn=on_ckpt if ck else None,
-            use_fused=use_pallas)
+            use_fused=use_pallas, scan_chunk=args.scan_chunk)
         for rec in hist:
             rec["iter"] += it_done[0]
             logger.log(**rec)

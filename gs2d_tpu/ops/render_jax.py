@@ -39,11 +39,13 @@ from gs2d_tpu.ops.numerics import exp_ref, sign_of, trunc_to_int
 from gs2d_tpu.params import GaussianParams
 
 
-def _splat_scalars(p: GaussianParams):
-    """Stack per-splat scalars consumed by the scan: one row per splat."""
+def _splat_scalars(p: GaussianParams, bounds: float = 3.0):
+    """Stack per-splat scalars consumed by the scan: one row per splat.
+
+    ``bounds`` is the row-walk sigma cutoff (cfg.splat_bounds)."""
     s11, s12, s22 = geometry.cov_of(p.sx, p.sy, p.rot)
     a, b, d, det = geometry.inv_cov_of(s11, s12, s22)
-    h = geometry.bbox_half_height(a, det, 3.0)
+    h = geometry.bbox_half_height(a, det, bounds)
     return {
         "px": p.pos[:, 0], "py": p.pos[:, 1],
         "a": a, "b": b, "d": d, "h": h,
@@ -115,7 +117,7 @@ def render_forward_band(
     (the ordered-monoid partial from earlier splat shards). Returns the raw
     padded band (C (band_h, Wp, 3), T (band_h, Wp)).
     """
-    scal = _splat_scalars(params)
+    scal = _splat_scalars(params, cfg.splat_bounds)
     H = cfg.padded_height if band_h is None else band_h
     W = cfg.padded_width
     if carry_in is None:
@@ -164,7 +166,7 @@ def render_backward_band(
     splat shard (prefix of earlier shards). Implements the replay strategy of
     main.cpp:548-712.
     """
-    scal = _splat_scalars(params)
+    scal = _splat_scalars(params, cfg.splat_bounds)
     H = cfg.padded_height if band_h is None else band_h
     W = cfg.padded_width
     if carry_in is None:

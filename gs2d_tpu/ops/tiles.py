@@ -60,11 +60,13 @@ class TileBinning(NamedTuple):
     n_dropped: jax.Array    # scalar int32: entries lost to capacity caps
 
 
-def packed_fields(p: GaussianParams) -> jax.Array:
-    """(N_FIELDS, N) packed per-splat scalars shared by fwd/bwd kernels."""
+def packed_fields(p: GaussianParams, bounds: float = 3.0) -> jax.Array:
+    """(N_FIELDS, N) packed per-splat scalars shared by fwd/bwd kernels.
+
+    ``bounds`` is the sigma cutoff of the row walk (cfg.splat_bounds)."""
     s11, s12, s22 = geometry.cov_of(p.sx, p.sy, p.rot)
     a, b, d, det = geometry.inv_cov_of(s11, s12, s22)
-    h = geometry.bbox_half_height(a, det, 3.0)
+    h = geometry.bbox_half_height(a, det, bounds)
     n = p.pos.shape[0]
     f = jnp.zeros((N_FIELDS, n), jnp.float32)
     f = f.at[FIELD_PX].set(p.pos[:, 0])
@@ -229,7 +231,7 @@ def bin_splats(
     # Pre-gather packed params row-major ((N, F) rows are contiguous 64-byte
     # fetches, far friendlier to the TPU gather unit than per-field column
     # gathers), then transpose to the kernels' (n_tiles, F, K) layout.
-    fields_rows = jnp.transpose(packed_fields(p))  # (N, F)
+    fields_rows = jnp.transpose(packed_fields(p, cfg.splat_bounds))  # (N, F)
     safe_ids = jnp.where(ids >= 0, ids, 0)
     tp = fields_rows[safe_ids]                     # (n_tiles, K, F)
     # Benign padding: opacity 0 (no contribution), unit scales/inverse-cov

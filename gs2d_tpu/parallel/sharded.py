@@ -173,8 +173,8 @@ def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
     best for small shard counts) or "scan" (log-depth ppermute rounds, best
     for long ICI rings). ``renderer`` picks the per-shard rasterizer:
     "scan" (lax.scan reference path, any mesh) or "pallas" (production tile
-    kernels; currently requires tile axis == 1 -- each device rasterizes the
-    full image for its splat shard). Returns (step_fn, shardings dict).
+    kernels; each device bins and rasterizes its own band of tile rows --
+    the band must align to tile_h). Returns (step_fn, shardings dict).
     """
     if combine not in ("fold", "scan"):
         raise ValueError(f"unknown combine {combine!r}")
@@ -213,8 +213,10 @@ def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
             C_loc, T_loc = rp.forward_tiled(
                 binning, cfg_shard, band_row0=band_r0,
                 band_rows=band_tile_rows, crop=False)
+            n_drop = binning.n_dropped
         else:
             C_loc, T_loc = render_forward_band(params, cfg_shard, y0, band_h)
+            n_drop = jnp.int32(0)
 
         if n_splat > 1:
             fin, _, C_in, T_in = monoid(C_loc, T_loc, SPLAT_AXIS)
@@ -241,17 +243,17 @@ def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
         band_sq = jnp.sum(gC * gC)  # zero on padding by construction
         mse = jax.lax.psum(band_sq, TILE_AXIS) * jnp.float32(255.0 * 255.0) \
             / jnp.float32(n_real_px)
-        return params_new, opt_new, mse
+        return params_new, opt_new, mse, n_drop
 
     def local_step(state: TrainState, refs):
         # vmap over the local batch slice.
         def img(params, m, v, b1t, b2t, stp, ref_band):
             opt = type(state.opt)(m=m, v=v, beta1t=b1t, beta2t=b2t, step=stp)
-            p_new, o_new, mse = one_image_step(params, opt, ref_band)
+            p_new, o_new, mse, n_drop = one_image_step(params, opt, ref_band)
             return p_new, o_new.m, o_new.v, o_new.beta1t, o_new.beta2t, \
-                o_new.step, mse
+                o_new.step, mse, n_drop
 
-        p_new, m_new, v_new, b1t, b2t, stp, mse = jax.vmap(img)(
+        p_new, m_new, v_new, b1t, b2t, stp, mse, n_drop = jax.vmap(img)(
             state.params, state.opt.m, state.opt.v, state.opt.beta1t,
             state.opt.beta2t, state.opt.step, refs)
         opt = type(state.opt)(m=m_new, v=v_new, beta1t=b1t, beta2t=b2t,
@@ -265,13 +267,19 @@ def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
         bad = jax.lax.psum(jax.lax.psum(bad_local, SPLAT_AXIS), TILE_AXIS)
         finite = bad == 0.0
 
+        # Total dropped splat-tile pairs this step across all shards (the
+        # binning coverage contract; see ops/tiles.py).
+        drop_total = jax.lax.psum(jax.lax.psum(jax.lax.psum(
+            jnp.sum(n_drop), SPLAT_AXIS), TILE_AXIS), DATA_AXIS)
+
         aux = StepAux(mse=mse, psnr=psnr_from_mse(mse),
-                      all_finite=jnp.broadcast_to(finite, mse.shape))
+                      all_finite=jnp.broadcast_to(finite, mse.shape),
+                      n_dropped=drop_total)
         return new_state, aux
 
     sspec = state_pspec()
     aux_spec = StepAux(mse=P(DATA_AXIS), psnr=P(DATA_AXIS),
-                       all_finite=P(DATA_AXIS))
+                       all_finite=P(DATA_AXIS), n_dropped=P())
 
     sharded = shard_map(
         local_step, mesh=mesh,
@@ -309,6 +317,7 @@ def fit_sharded(
     state = jax.device_put(state, shardings["state"])
     refs = jax.device_put(refs, shardings["ref"])
     history = []
+    warned_drop = False
     for it in range(iterations):
         state, aux = step(state, refs)
         if it % 32 == 31:  # bound the dispatch queue (see train/loop.py)
@@ -319,5 +328,11 @@ def fit_sharded(
             history.append({"iter": it, "mse": mse})
             if log_fn:
                 log_fn(f"{it} itr, mse {mse}")
+            if not warned_drop and int(jnp.asarray(aux.n_dropped)) > 0:
+                warned_drop = True
+                if log_fn:
+                    log_fn(f"WARNING: binning capacity overflow at iter {it}:"
+                           f" {int(jnp.asarray(aux.n_dropped))} splat-tile "
+                           "pairs dropped; raise max_splats_per_tile")
     jax.block_until_ready(jax.tree.leaves(state)[0])
     return state, history

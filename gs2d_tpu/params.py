@@ -15,6 +15,12 @@ from flax import struct
 from gs2d_tpu.config import PI, SplatConfig
 from gs2d_tpu.ops.numerics import pcg3d_unit
 
+# Sentinel x-position of a dead (pruned, not-yet-refilled) splat slot. Dead
+# slots are parked far off-screen so tile binning excludes them for free; they
+# must survive clamping untouched (see clamp_params) or they resurrect as
+# visible splats at the image corner.
+DEAD_POS = -1.0e6
+
 
 @struct.dataclass
 class GaussianParams:
@@ -88,7 +94,11 @@ def zeros_like_params(params: GaussianParams) -> GaussianParams:
 
 
 def clamp_params(params: GaussianParams, cfg: SplatConfig) -> GaussianParams:
-    """Post-update box constraints (reference main.cpp:740-749)."""
+    """Post-update box constraints (reference main.cpp:740-749).
+
+    Dead slots (pos parked at DEAD_POS by densify/prune) are preserved one
+    level up in adam_update, which knows the pre-update state -- clamping
+    here is unconditional, exactly like the reference."""
     lohi = jnp.asarray(
         [[0.0, cfg.width - 1], [0.0, cfg.height - 1]], jnp.float32
     )
@@ -100,3 +110,18 @@ def clamp_params(params: GaussianParams, cfg: SplatConfig) -> GaussianParams:
         color=jnp.clip(params.color, 0.0, 1.0),
         opacity=jnp.clip(params.opacity, cfg.opacity_min, cfg.opacity_max),
     )
+
+
+def freeze_dead_slots(
+    pre: GaussianParams, post: GaussianParams
+) -> GaussianParams:
+    """Restore dead slots (pos parked at DEAD_POS before the update) to their
+    pre-update values. Without this, clamping resurrects pruned splats as
+    visible sigma-1 splats clipped to the image corner (ADVICE round 1)."""
+    dead = pre.pos[..., 0] <= jnp.float32(DEAD_POS * 0.5)
+
+    def keep(orig, new):
+        m = dead.reshape(dead.shape + (1,) * (orig.ndim - dead.ndim))
+        return jnp.where(m, orig, new)
+
+    return jax.tree.map(keep, pre, post)

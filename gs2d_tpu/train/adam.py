@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from flax import struct
 
 from gs2d_tpu.config import SplatConfig
-from gs2d_tpu.params import GaussianParams, clamp_params, zeros_like_params
+from gs2d_tpu.params import (GaussianParams, clamp_params, freeze_dead_slots,
+                             zeros_like_params)
 
 
 @struct.dataclass
@@ -80,8 +81,9 @@ def adam_update(
         else:
             new_p[f], new_m[f], new_v[f] = upd(value, g, m, v)
 
-    params = GaussianParams(**new_p)
-    params = clamp_params(params, cfg)
+    updated = GaussianParams(**new_p)
+    # Slots parked dead by densify/prune must not be clamped back on-screen.
+    params = freeze_dead_slots(params, clamp_params(updated, cfg))
     state = AdamState(
         m=GaussianParams(**new_m),
         v=GaussianParams(**new_v),

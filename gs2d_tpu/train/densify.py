@@ -28,11 +28,9 @@ import jax.numpy as jnp
 
 from gs2d_tpu.config import SplatConfig
 from gs2d_tpu.ops.numerics import pcg3d_unit
-from gs2d_tpu.params import GaussianParams
+from gs2d_tpu.params import DEAD_POS, GaussianParams
 from gs2d_tpu.train.adam import AdamState
 from gs2d_tpu.train.loop import TrainState
-
-DEAD_POS = -1.0e6
 
 
 @dataclasses.dataclass(frozen=True)

@@ -46,6 +46,10 @@ class StepAux(NamedTuple):
     mse: jax.Array        # 0-255-scale MSE of the pre-update render
     psnr: jax.Array
     all_finite: jax.Array  # NaN tripwire flag (recoverable main.cpp:752-785)
+    # Splat-tile pairs lost to static binning capacity caps this step (the
+    # tile pipeline's coverage contract; 0 on the scan path which has no
+    # binning). Surfaced so capacity overflow is never silent.
+    n_dropped: jax.Array = 0
 
 
 RenderFn = Callable[[GaussianParams, SplatConfig], jax.Array]
@@ -149,13 +153,17 @@ def fit(
     raise_on_nonfinite: bool = True,
     use_fused: bool = False,
     sync_every: int = 32,
+    scan_chunk: int = 0,
 ):
     """Host driver for the fitting loop (the reference's while-NextFrame loop,
     main.cpp:334-851, minus the GUI).
 
     ``use_fused`` switches to the fused Pallas L2 train step (production
-    path; ignores ``render_fn``). Returns (state, history) where history is
-    a list of per-logged-step dicts.
+    path; ignores ``render_fn``). ``scan_chunk`` > 1 runs iterations in
+    on-device ``lax.scan`` blocks of that size (no host dispatch per step --
+    the fastest shape on a remote TPU; logging/checkpoint granularity becomes
+    the block). Returns (state, history) where history is a list of
+    per-logged-step dicts.
     """
     if state is None:
         state = init_train_state(cfg)
@@ -166,8 +174,16 @@ def fit(
         ref = rp.pad_ref_chw(jnp.asarray(ref), cfg)
     else:
         step_fn = make_train_step(cfg, render_fn)
+    if scan_chunk and scan_chunk > 1:
+        return _fit_scanned(
+            ref, cfg, iterations, state, scan_chunk,
+            use_fused=use_fused, render_fn=render_fn, log_every=log_every,
+            log_fn=log_fn, checkpoint_every=checkpoint_every,
+            checkpoint_fn=checkpoint_fn,
+            raise_on_nonfinite=raise_on_nonfinite)
     history = []
     t0 = time.perf_counter()
+    warned_drop = [False]
 
     def check_finite(aux, it):
         # Reading the flag syncs the device, so only do it at log points --
@@ -177,6 +193,14 @@ def fit(
                 f"non-finite splat parameters at iteration {it} "
                 "(reference aborts here, main.cpp:752-785)"
             )
+        if not warned_drop[0] and int(jnp.asarray(aux.n_dropped)) > 0:
+            warned_drop[0] = True
+            if log_fn:
+                log_fn(
+                    f"WARNING: binning capacity overflow at iteration {it}: "
+                    f"{int(jnp.asarray(aux.n_dropped))} splat-tile pairs "
+                    "dropped; raise max_splats_per_tile / max_tiles_per_splat"
+                )
 
     aux = None
     for it in range(iterations):
@@ -205,25 +229,71 @@ def fit(
     return state, history
 
 
-@functools.lru_cache(maxsize=32)
-def make_train_step_fused(cfg: SplatConfig):
-    """Production single-device train step: fused Pallas L2 kernel (memoized
-    on cfg so repeated fit() calls reuse the compiled step).
+def _fit_scanned(
+    ref, cfg, iterations, state, scan_chunk, *, use_fused, render_fn,
+    log_every, log_fn, checkpoint_every, checkpoint_fn, raise_on_nonfinite,
+):
+    """fit() body for scan_chunk > 1: on-device K-iteration scan blocks.
 
-    One kernel does forward + cotangent + backward per tile; Adam and the
-    metrics fuse around it in XLA. The target must be pre-padded once with
-    ``render_pallas.pad_ref_chw`` (pass the padded (1,3,Hp,Wp) array).
-    Semantically identical (bitwise on the forward) to the modular
-    custom-VJP path; specialized to the reference's L2 objective.
-    """
+    ``ref`` is already padded (fused) or raw (modular). History records come
+    from the per-iteration aux arrays the scan stacks, so log_every keeps
+    working inside a block (values are fetched after the block completes --
+    iteration timing within a block is not observable, elapsed_s is
+    block-granular)."""
+    fit_k = make_fit_scan_fused(cfg) if use_fused else \
+        make_fit_scan(cfg, render_fn)
+    history = []
+    t0 = time.perf_counter()
+    warned_drop = False
+    done = 0
+    while done < iterations:
+        n = min(scan_chunk, iterations - done)
+        state, auxes = fit_k(state, ref, n)
+        mse_block = jax.device_get(auxes.mse)
+        finite_block = jax.device_get(auxes.all_finite)
+        if raise_on_nonfinite and not bool(finite_block.all()):
+            import numpy as _np
+
+            bad = int(_np.argmin(finite_block))
+            raise FloatingPointError(
+                f"non-finite splat parameters at iteration {done + bad} "
+                "(reference aborts here, main.cpp:752-785)")
+        if not warned_drop:
+            total_drop = int(jax.device_get(jnp.sum(
+                jnp.asarray(auxes.n_dropped))))
+            if total_drop > 0:
+                warned_drop = True
+                if log_fn:
+                    log_fn(f"WARNING: binning capacity overflow: {total_drop}"
+                           " splat-tile pairs dropped in this block")
+        elapsed = time.perf_counter() - t0
+        for j in range(n):
+            it = done + j
+            if log_every and (it % log_every == 0 or it == iterations - 1):
+                mse = float(mse_block[j])
+                psnr = float(jax.device_get(auxes.psnr)[j])
+                rec = {"iter": it, "mse": mse, "psnr": psnr,
+                       "elapsed_s": elapsed}
+                history.append(rec)
+                if log_fn:
+                    log_fn(f"{it} itr, mse {mse:.4f}, psnr {psnr:.2f} dB")
+        done += n
+        if checkpoint_every and checkpoint_fn and \
+                done % checkpoint_every == 0:
+            checkpoint_fn(state, done)
+    jax.block_until_ready(state.params.pos)
+    return state, history
+
+
+def _fused_step_body(cfg: SplatConfig):
+    """The fused-Pallas train iteration as a pure function (shared by the
+    single-step, scanned, and batched wrappers)."""
     from gs2d_tpu.ops import render_pallas as rp
+    from gs2d_tpu.ops import tiles as tl
 
     k = rp._max_per_tile(cfg)
 
-    @jax.jit
-    def train_step(state: TrainState, ref_chw: jax.Array):
-        from gs2d_tpu.ops import tiles as tl
-
+    def one_step(state: TrainState, ref_chw: jax.Array):
         binning = tl.bin_splats(state.params, cfg, k)
         color, grads = rp.l2_render_and_grads(
             binning, ref_chw, cfg.n_splats, cfg)
@@ -237,10 +307,50 @@ def make_train_step_fused(cfg: SplatConfig):
             ref_chw[0], (1, 2, 0))[: cfg.height, : cfg.width]
         mse = mse_255(color, ref_crop)
         return TrainState(params=params, opt=opt), StepAux(
-            mse=mse, psnr=psnr_from_mse(mse), all_finite=finite
+            mse=mse, psnr=psnr_from_mse(mse), all_finite=finite,
+            n_dropped=binning.n_dropped,
         )
 
-    return train_step
+    return one_step
+
+
+@functools.lru_cache(maxsize=32)
+def make_train_step_fused(cfg: SplatConfig):
+    """Production single-device train step: fused Pallas L2 kernel (memoized
+    on cfg so repeated fit() calls reuse the compiled step).
+
+    One kernel does forward + cotangent + backward per tile; Adam and the
+    metrics fuse around it in XLA. The target must be pre-padded once with
+    ``render_pallas.pad_ref_chw`` (pass the padded (1,3,Hp,Wp) array).
+    Semantically identical (bitwise on the forward) to the modular
+    custom-VJP path; specialized to the reference's L2 objective.
+    """
+    return jax.jit(_fused_step_body(cfg))
+
+
+@functools.lru_cache(maxsize=32)
+def make_fit_scan_fused(cfg: SplatConfig):
+    """On-device multi-iteration fused fitter: ``lax.scan`` of the fused
+    Pallas step.
+
+    One device program executes ``n_iters`` complete iterations (binning +
+    fused fwd/bwd kernel + Adam) with zero host round-trips -- the production
+    shape for the tunneled/remote TPU runtime, where per-dispatch latency
+    (~ms) is comparable to the step itself. Returns
+    ``fit_k(state, ref_chw, n_iters)`` (``n_iters`` static) -> (final state,
+    stacked per-iteration StepAux histories).
+    """
+    one_step = _fused_step_body(cfg)
+
+    @functools.partial(jax.jit, static_argnames=("n_iters",))
+    def fit_k(state: TrainState, ref_chw: jax.Array, n_iters: int):
+        def body(carry, _):
+            new_state, aux = one_step(carry, ref_chw)
+            return new_state, aux
+
+        return jax.lax.scan(body, state, None, length=n_iters)
+
+    return fit_k
 
 
 def fit_with_recovery(
@@ -318,11 +428,11 @@ def make_batched_train_step_fused(cfg: SplatConfig):
         ref_crop = jnp.transpose(
             ref_chw[0], (1, 2, 0))[: cfg.height, : cfg.width]
         mse = mse_255(color, ref_crop)
-        return new_params, new_opt, mse
+        return new_params, new_opt, mse, binning.n_dropped
 
     @jax.jit
     def train_step(state: TrainState, refs_chw: jax.Array):
-        params, opt, mse = jax.vmap(one_image)(
+        params, opt, mse, n_drop = jax.vmap(one_image)(
             state.params, state.opt, refs_chw)
         finite = jnp.all(
             jnp.array(
@@ -331,6 +441,7 @@ def make_batched_train_step_fused(cfg: SplatConfig):
         )
         return TrainState(params=params, opt=opt), StepAux(
             mse=mse, psnr=psnr_from_mse(mse),
-            all_finite=jnp.broadcast_to(finite, mse.shape))
+            all_finite=jnp.broadcast_to(finite, mse.shape),
+            n_dropped=jnp.sum(n_drop))
 
     return train_step

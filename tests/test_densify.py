@@ -72,6 +72,28 @@ def test_moments_reset_on_touched_slots():
     assert (m_sx == 1).sum() >= 5
 
 
+def test_dead_slots_survive_training_steps():
+    """Dead (pruned, unrefilled) slots must stay dead through Adam + clamps.
+
+    Regression: clamp_params used to clip the DEAD_POS sentinel back into the
+    image box and raise opacity to the 0.1 floor, resurrecting pruned splats
+    as visible sigma-1 black splats at the corner (ADVICE round 1, high)."""
+    cfg = SplatConfig(width=W, height=H, n_splats=8)
+    state = init_train_state(cfg)
+    p = state.params
+    p = p.replace(sx=p.sx.at[:3].set(1.0), sy=p.sy.at[:3].set(1.0))
+    state = state.replace(params=p)
+    state = densify_and_prune(state, jnp.zeros((8,)), cfg)
+    assert int(n_live(state.params)) == 5
+
+    ref = jnp.asarray(synthetic_target(H, W))
+    state, _ = fit(ref, cfg, iterations=3, state=state, log_fn=None)
+    dead = ~np.asarray(live_mask(state.params))
+    assert dead.sum() == 3, "dead slots resurrected by clamp/Adam"
+    assert (np.asarray(state.params.pos)[dead, 0] <= DEAD_POS * 0.5).all()
+    assert (np.asarray(state.params.opacity)[dead] == 0.0).all()
+
+
 def test_training_still_converges_after_densify():
     cfg = SplatConfig(width=W, height=H, n_splats=48)
     ref = jnp.asarray(synthetic_target(H, W))

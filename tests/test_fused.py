@@ -65,6 +65,46 @@ class TestFusedKernel:
             c = np.asarray(getattr(s_f.params, f))
             np.testing.assert_allclose(c, a, rtol=1e-4, atol=2e-3, err_msg=f)
 
+    def test_fit_scan_fused_matches_step_loop(self, rng):
+        """K iterations via the on-device lax.scan == K single-step calls
+        (bitwise: same traced computation, same order)."""
+        from gs2d_tpu.train.loop import make_fit_scan_fused
+
+        cfg = SplatConfig(width=W, height=H, n_splats=64,
+                          max_splats_per_tile=64)
+        ref = synthetic_target(H, W)
+        refc = rp.pad_ref_chw(jnp.asarray(ref), cfg)
+        step = make_train_step_fused(cfg)
+        s_loop = init_train_state(cfg)
+        mses = []
+        for _ in range(5):
+            s_loop, aux = step(s_loop, refc)
+            mses.append(float(aux.mse))
+
+        fit_k = make_fit_scan_fused(cfg)
+        s_scan, auxes = fit_k(init_train_state(cfg), refc, 5)
+        np.testing.assert_allclose(np.asarray(auxes.mse), mses, rtol=1e-6)
+        for f in ("pos", "sx", "sy", "rot", "color", "opacity"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(s_scan.params, f)),
+                np.asarray(getattr(s_loop.params, f)),
+                rtol=1e-5, atol=1e-5, err_msg=f)
+
+    def test_fit_scan_chunk_driver(self, rng):
+        """fit(scan_chunk=K) produces the same history records as fit()."""
+        from gs2d_tpu.train.loop import fit
+
+        cfg = SplatConfig(width=W, height=H, n_splats=64,
+                          max_splats_per_tile=64)
+        ref = jnp.asarray(synthetic_target(H, W))
+        _, h_plain = fit(ref, cfg, iterations=6, log_every=2, log_fn=None,
+                         use_fused=True)
+        _, h_scan = fit(ref, cfg, iterations=6, log_every=2, log_fn=None,
+                        use_fused=True, scan_chunk=4)
+        assert [r["iter"] for r in h_scan] == [r["iter"] for r in h_plain]
+        for a, b in zip(h_scan, h_plain):
+            assert np.isclose(a["mse"], b["mse"], rtol=1e-5)
+
     def test_fused_convergence(self, rng):
         cfg = SplatConfig(width=W, height=H, n_splats=64,
                           max_splats_per_tile=64)
