@@ -426,13 +426,14 @@ render.defvjp(_render_fwd, _render_bwd)
 # Fused L2 train kernel: forward + cotangent + backward in ONE pallas_call.
 # ---------------------------------------------------------------------------
 
-def _l2_fused_kernel(count_ref, params_ref, ref_ref, color_ref, grads_ref,
-                     *, cfg: SplatConfig):
+def _l2_fused_kernel(off_ref, count_ref, params_ref, ref_ref, color_ref,
+                     grads_ref, *, cfg: SplatConfig):
     """One grid step per tile: composite the tile (pass 1), form the L2
     cotangent gC = C - ref in registers (the reference's dL/dC,
     main.cpp:616), then replay for gradients (pass 2). Halves kernel
-    dispatches and keeps fin/gC entirely on-chip."""
-    yy, xx, fy, fx, inside = _tile_coords(cfg)
+    dispatches and keeps fin/gC entirely on-chip. ``off_ref`` holds the
+    global pixel row of the band's first row (0 for a full image)."""
+    yy, xx, fy, fx, inside = _tile_coords(cfg, off_ref[0])
     th, tw = cfg.tile_h, cfg.tile_w
     n_live = count_ref[pl.program_id(0) * cfg.n_tiles_x + pl.program_id(1)]
 
@@ -502,11 +503,18 @@ def l2_render_and_grads(
     n_splats: int,
     cfg: SplatConfig,
     interpret: bool | None = None,
+    band_row0=0,
+    band_rows: int | None = None,
 ) -> Tuple[jax.Array, GaussianParams]:
     """Fused production train path for the L2 objective.
 
     ``ref_chw`` is the zero-padded (1, 3, Hp, Wp) target (pad once per fit,
     not per step). Returns (color (H, W, 3), parameter gradients).
+
+    With ``band_row0`` (traced ok) / ``band_rows`` (static), the binning and
+    the target cover only that band of tile rows (the tile-axis sharding
+    unit); the returned color is the raw padded band (band_rows*tile_h, Wp,
+    3), uncropped.
 
     Dispatches to the chunked variant when the per-tile capacity exceeds one
     chunk (keeps SMEM blocks and the one-hot gradient accumulator O(chunk)).
@@ -516,15 +524,21 @@ def l2_render_and_grads(
     k = binning.ids.shape[1]
     if k > 256 and k % 256 == 0:
         return l2_render_and_grads_chunked(
-            binning, ref_chw, n_splats, cfg, chunk=256, interpret=interpret)
-    gy, gx = cfg.n_tiles_y, cfg.n_tiles_x
+            binning, ref_chw, n_splats, cfg, chunk=256, interpret=interpret,
+            band_row0=band_row0, band_rows=band_rows)
+    banded = band_rows is not None
+    gy = band_rows if banded else cfg.n_tiles_y
+    gx = cfg.n_tiles_x
     n_tiles = gy * gx
     th, tw = cfg.tile_h, cfg.tile_w
+    hp = gy * th
+    off = jnp.asarray([jnp.asarray(band_row0, jnp.int32) * th], jnp.int32)
 
     color, partial = pl.pallas_call(
         functools.partial(_l2_fused_kernel, cfg=cfg),
         grid=(gy, gx),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, k, tl.N_FIELDS), lambda i, j, gx=gx: (i * gx + j, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -538,15 +552,16 @@ def l2_render_and_grads(
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, 3, cfg.padded_height, cfg.padded_width),
-                                 jnp.float32),
+            jax.ShapeDtypeStruct((1, 3, hp, cfg.padded_width), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, N_GRAD_FIELDS, k), jnp.float32),
         ],
         interpret=interpret,
-    )(binning.count, binning.tile_params, ref_chw)
+    )(off, binning.count, binning.tile_params, ref_chw)
 
     grads = _segment_grads(binning, partial, n_splats)
-    color = jnp.transpose(color[0], (1, 2, 0))[: cfg.height, : cfg.width]
+    color = jnp.transpose(color[0], (1, 2, 0))
+    if not banded:
+        color = color[: cfg.height, : cfg.width]
     return color, grads
 
 
@@ -561,7 +576,7 @@ def pad_ref_chw(ref: jax.Array, cfg: SplatConfig) -> jax.Array:
 # Chunked fused L2 kernel: scales to arbitrary per-tile splat counts.
 # ---------------------------------------------------------------------------
 
-def _l2_chunked_kernel(count_ref, params_ref, ref_ref,
+def _l2_chunked_kernel(off_ref, count_ref, params_ref, ref_ref,
                        color_ref, grads_ref, t_ref, c1_ref, t1_ref,
                        *, cfg: SplatConfig, kc: int, n_chunks: int):
     """Grid (tiles, phase, chunk). Phase 0 composites the tile chunk by
@@ -569,8 +584,10 @@ def _l2_chunked_kernel(count_ref, params_ref, ref_ref,
     forward; the replay prefix C1/T1 for the backward) live in output blocks
     revisited across the tile's consecutive grid steps, so VMEM and the
     one-hot accumulator stay O(chunk) no matter how long the splat list is.
+    ``off_ref`` holds the global pixel row of the band's first row.
     """
-    yy, xx, fy, fx, inside = _tile_coords_grid(cfg, pl.program_id(0))
+    yy, xx, fy, fx, inside = _tile_coords_grid(cfg, pl.program_id(0),
+                                               off_ref[0])
     th, tw = cfg.tile_h, cfg.tile_w
     phase = pl.program_id(1)
     chunk = pl.program_id(2)
@@ -656,12 +673,13 @@ def _l2_chunked_kernel(count_ref, params_ref, ref_ref,
                 axis=0)
 
 
-def _tile_coords_grid(cfg: SplatConfig, tile_idx):
-    """Pixel coords for a flat tile index (tiles iterate row-major)."""
+def _tile_coords_grid(cfg: SplatConfig, tile_idx, row0_px=0):
+    """Pixel coords for a flat tile index (tiles iterate row-major);
+    ``row0_px`` offsets rows into global coordinates for band rendering."""
     ti = tile_idx // cfg.n_tiles_x
     tj = tile_idx % cfg.n_tiles_x
     th, tw = cfg.tile_h, cfg.tile_w
-    yy = ti * th + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+    yy = row0_px + ti * th + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
     xx = tj * tw + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
     fy = yy.astype(jnp.float32) + jnp.float32(0.5)
     fx = xx.astype(jnp.float32) + jnp.float32(0.5)
@@ -676,9 +694,12 @@ def l2_render_and_grads_chunked(
     cfg: SplatConfig,
     chunk: int = 256,
     interpret: bool | None = None,
+    band_row0=0,
+    band_rows: int | None = None,
 ) -> Tuple[jax.Array, GaussianParams]:
     """Chunked fused L2 path: constant VMEM/SMEM regardless of per-tile
-    splat-list length. Same outputs as ``l2_render_and_grads``."""
+    splat-list length. Same outputs as ``l2_render_and_grads`` (with band
+    args, the raw padded band, uncropped)."""
     if interpret is None:
         interpret = _should_interpret()
     k = binning.ids.shape[1]
@@ -686,10 +707,13 @@ def l2_render_and_grads_chunked(
     if k % kc:
         raise ValueError(f"per-tile capacity {k} must divide by chunk {kc}")
     n_chunks = k // kc
-    gy, gx = cfg.n_tiles_y, cfg.n_tiles_x
+    banded = band_rows is not None
+    gy = band_rows if banded else cfg.n_tiles_y
+    gx = cfg.n_tiles_x
     n_tiles = gy * gx
     th, tw = cfg.tile_h, cfg.tile_w
-    hp, wp = cfg.padded_height, cfg.padded_width
+    hp, wp = gy * th, cfg.padded_width
+    off = jnp.asarray([jnp.asarray(band_row0, jnp.int32) * th], jnp.int32)
 
     grid = (n_tiles, 2, n_chunks)
 
@@ -698,6 +722,7 @@ def l2_render_and_grads_chunked(
                           n_chunks=n_chunks),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, kc, tl.N_FIELDS), lambda t, p, c: (t, c, 0),
                          memory_space=pltpu.SMEM),
@@ -732,11 +757,13 @@ def l2_render_and_grads_chunked(
             jax.ShapeDtypeStruct((1, hp, wp), jnp.float32),
         ],
         interpret=interpret,
-    )(binning.count, binning.tile_params, ref_chw)
+    )(off, binning.count, binning.tile_params, ref_chw)
 
     partial = partial.reshape(n_tiles, n_chunks, N_GRAD_FIELDS, kc)
     partial = jnp.transpose(partial, (0, 2, 1, 3)).reshape(
         n_tiles, N_GRAD_FIELDS, n_chunks * kc)
     grads = _segment_grads(binning, partial, n_splats)
-    color = jnp.transpose(color[0], (1, 2, 0))[: cfg.height, : cfg.width]
+    color = jnp.transpose(color[0], (1, 2, 0))
+    if not banded:
+        color = color[: cfg.height, : cfg.width]
     return color, grads

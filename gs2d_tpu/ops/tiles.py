@@ -123,6 +123,7 @@ def bin_splats(
     _force_segmented: bool = False,
     band_row0=0,
     band_rows: int | None = None,
+    counts_only: bool = False,
 ) -> TileBinning:
     """Build the per-tile splat lists (index order preserved within a tile).
 
@@ -132,6 +133,10 @@ def bin_splats(
     ``band_row0`` (traced ok) / ``band_rows`` (static) restrict binning to a
     horizontal band of tile rows -- the unit of tile-axis sharding. Tile ids
     in the result are band-local.
+
+    ``counts_only`` skips the id-matrix build and parameter pregather and
+    returns just the *untruncated* per-tile counts (n_tiles,) -- used to
+    auto-tune the static per-tile capacity (see tune_tile_capacity).
     """
     n = p.pos.shape[0]
     if band_rows is None:
@@ -213,6 +218,8 @@ def bin_splats(
     seg_counts = seg_ends - seg_starts             # (S, n_tiles)
     # Stitch: tile t's list is segment 0's run, then segment 1's, ...
     tile_count_full = jnp.sum(seg_counts, axis=0)
+    if counts_only:
+        return tile_count_full
     tile_count = jnp.minimum(tile_count_full, max_per_tile)
     dropped_tile = jnp.sum(tile_count_full - tile_count)
 
@@ -252,3 +259,31 @@ def bin_splats(
         count=tile_count,
         n_dropped=(dropped_bbox + dropped_tile).astype(jnp.int32),
     )
+
+
+def tune_tile_capacity(
+    p: GaussianParams,
+    cfg: SplatConfig,
+    margin: float = 1.5,
+    chunk: int = 256,
+) -> SplatConfig:
+    """Pick the static per-tile capacity from the *measured* tile counts.
+
+    The capacity K scales the pregather, the kernel parameter DMA, and the
+    gradient scatter (all O(n_tiles * K)); the default heuristic
+    (render_pallas._max_per_tile) can overshoot the true maximum count by
+    5-10x on mid-scale workloads. This bins once in counts-only mode (no
+    pregather), takes max * margin, and rounds to a kernel-friendly size:
+    <= 256 stays a multiple of 64 (single fused kernel), above that a
+    multiple of ``chunk`` (chunked kernel). Counts drift during fitting;
+    overflow is caught by the n_dropped tripwire, on which fit() re-tunes.
+    """
+    counts = jax.jit(
+        lambda q: bin_splats(q, cfg, 1, counts_only=True))(p)
+    m = int(jax.device_get(counts.max()))
+    k = max(64, int(m * margin))
+    if k <= 256:
+        k = -(-k // 64) * 64
+    else:
+        k = -(-k // chunk) * chunk
+    return cfg.replace(max_splats_per_tile=k)

@@ -162,9 +162,82 @@ def _ordered_monoid_scan(C_loc, T_loc, axis: str):
     return fin, T_fin, C_in, T_in
 
 
+def _pallas_band_step(params, ref_band, cfg_shard, n_splat, monoid,
+                      band_tile_rows, overlap_chunks, max_k):
+    """Production per-device band step (inside shard_map).
+
+    Bins the device's band once, then computes (final band color, grads
+    psum'd over the tile axis, n_dropped). The backward runs in
+    ``overlap_chunks`` tile-row sub-bands; each sub-band's gradient psum is
+    issued as soon as that sub-band finishes, so XLA's latency-hiding
+    scheduler overlaps the collective with the next sub-band's compute.
+
+    With one splat shard the fused L2 kernel handles each sub-band
+    (fwd+cotangent+bwd in one pallas_call); with splat shards the ordered
+    (C, T) monoid combine must run between forward and backward, so the
+    split kernels are used.
+    """
+    from gs2d_tpu.ops import render_pallas as rp
+    from gs2d_tpu.ops import tiles as tlmod
+
+    cfg = cfg_shard
+    k = max_k or rp._max_per_tile(cfg)
+    gx = cfg.n_tiles_x
+    th = cfg.tile_h
+    n_local = params.pos.shape[0]
+    band_r0 = jax.lax.axis_index(TILE_AXIS) * band_tile_rows
+    binning = tlmod.bin_splats(params, cfg, k, band_row0=band_r0,
+                               band_rows=band_tile_rows)
+    rows_per = band_tile_rows // overlap_chunks
+
+    def sub_binning(sub):
+        sl = slice(sub * rows_per * gx, (sub + 1) * rows_per * gx)
+        return tlmod.TileBinning(
+            ids=binning.ids[sl], tile_params=binning.tile_params[sl],
+            count=binning.count[sl], n_dropped=binning.n_dropped)
+
+    def sub_px(sub):
+        return slice(sub * rows_per * th, (sub + 1) * rows_per * th)
+
+    if n_splat == 1:
+        grads = None
+        bands = []
+        for sub in range(overlap_chunks):
+            px = sub_px(sub)
+            ref_chw = jnp.transpose(ref_band[px], (2, 0, 1))[None]
+            C_sub, g_sub = rp.l2_render_and_grads(
+                sub_binning(sub), ref_chw, n_local, cfg,
+                band_row0=band_r0 + sub * rows_per, band_rows=rows_per)
+            g_sub = jax.lax.psum(g_sub, TILE_AXIS)
+            grads = g_sub if grads is None else jax.tree.map(
+                jnp.add, grads, g_sub)
+            bands.append(C_sub)
+        fin = jnp.concatenate(bands, axis=0)
+        return fin, grads, binning.n_dropped
+
+    # Splat-sharded: forward the whole band, ordered-combine, then the
+    # chunked backward replay with the incoming (C, T) prefix.
+    C_loc, T_loc = rp.forward_tiled(binning, cfg, band_row0=band_r0,
+                                    band_rows=band_tile_rows, crop=False)
+    fin, _, C_in, T_in = monoid(C_loc, T_loc, SPLAT_AXIS)
+    gC = fin - ref_band
+    grads = None
+    for sub in range(overlap_chunks):
+        px = sub_px(sub)
+        g_sub = rp.backward_tiled(
+            sub_binning(sub), fin[px], gC[px], n_local, cfg,
+            carry_in=(C_in[px], T_in[px]),
+            band_row0=band_r0 + sub * rows_per, band_rows=rows_per)
+        g_sub = jax.lax.psum(g_sub, TILE_AXIS)
+        grads = g_sub if grads is None else jax.tree.map(
+            jnp.add, grads, g_sub)
+    return fin, grads, binning.n_dropped
+
+
 def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
                             combine: str = "fold",
-                            renderer: str = "scan"):
+                            renderer: str = "scan",
+                            overlap_chunks: int = 0):
     """Build the jitted multi-device train step.
 
     State is batched (B, N, ...) and sharded (data, splat); targets are
@@ -174,7 +247,17 @@ def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
     for long ICI rings). ``renderer`` picks the per-shard rasterizer:
     "scan" (lax.scan reference path, any mesh) or "pallas" (production tile
     kernels; each device bins and rasterizes its own band of tile rows --
-    the band must align to tile_h). Returns (step_fn, shardings dict).
+    the band must align to tile_h).
+
+    Production structure of the pallas path: with one splat shard the
+    *fused* L2 kernel runs per band (fwd + cotangent + bwd in one
+    pallas_call); with splat shards the forward/monoid-combine/backward
+    split is required (a collective sits between the passes). In both
+    cases the backward is cut into ``overlap_chunks`` tile-row sub-bands
+    whose per-chunk gradient ``psum`` overlaps the remaining sub-bands'
+    compute (the north-star "all-reduce overlapped with the backward tile
+    sweep"; 0 = auto: largest divisor of the band <= 4 when the tile axis
+    is sharded, else 1). Returns (step_fn, shardings dict).
     """
     if combine not in ("fold", "scan"):
         raise ValueError(f"unknown combine {combine!r}")
@@ -194,6 +277,17 @@ def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
         raise ValueError("tile-axis bands must align to tile_h for the "
                          "pallas renderer")
     band_tile_rows = band_h // cfg.tile_h
+    if overlap_chunks <= 0:
+        overlap_chunks = 1
+        if n_tile > 1 and renderer == "pallas":
+            for c in (4, 3, 2):
+                if band_tile_rows % c == 0:
+                    overlap_chunks = c
+                    break
+    if band_tile_rows % overlap_chunks:
+        raise ValueError(
+            f"band of {band_tile_rows} tile rows not divisible by "
+            f"overlap_chunks={overlap_chunks}")
     # Sharded splat axis -> exact associative monoid (threshold off).
     cfg_shard = cfg.replace(min_throughput=0.0) if n_splat > 1 else cfg
     n_real_px = cfg.height * cfg.width * 3
@@ -202,40 +296,25 @@ def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
         y0 = jax.lax.axis_index(TILE_AXIS) * band_h
 
         if renderer == "pallas":
-            from gs2d_tpu.ops import render_pallas as rp
-            from gs2d_tpu.ops import tiles as tlmod
-
-            k = cfg.max_splats_per_tile or rp._max_per_tile(cfg)
-            band_r0 = jax.lax.axis_index(TILE_AXIS) * band_tile_rows
-            binning = tlmod.bin_splats(params, cfg_shard, k,
-                                       band_row0=band_r0,
-                                       band_rows=band_tile_rows)
-            C_loc, T_loc = rp.forward_tiled(
-                binning, cfg_shard, band_row0=band_r0,
-                band_rows=band_tile_rows, crop=False)
-            n_drop = binning.n_dropped
+            fin, grads, n_drop = _pallas_band_step(
+                params, ref_band, cfg_shard, n_splat, monoid,
+                band_tile_rows, overlap_chunks,
+                cfg.max_splats_per_tile)
+            gC = fin - ref_band
         else:
             C_loc, T_loc = render_forward_band(params, cfg_shard, y0, band_h)
             n_drop = jnp.int32(0)
-
-        if n_splat > 1:
-            fin, _, C_in, T_in = monoid(C_loc, T_loc, SPLAT_AXIS)
-            carry_in = (C_in, T_in)
-        else:
-            fin = C_loc
-            carry_in = None
-
-        gC = fin - ref_band  # dL/dC of the L2 objective (main.cpp:616)
-        if renderer == "pallas":
-            grads = rp.backward_tiled(
-                binning, fin, gC, params.pos.shape[0], cfg_shard,
-                carry_in=carry_in, band_row0=band_r0,
-                band_rows=band_tile_rows)
-        else:
+            if n_splat > 1:
+                fin, _, C_in, T_in = monoid(C_loc, T_loc, SPLAT_AXIS)
+                carry_in = (C_in, T_in)
+            else:
+                fin = C_loc
+                carry_in = None
+            gC = fin - ref_band  # dL/dC of the L2 objective (main.cpp:616)
             grads = render_backward_band(
                 params, fin, gC, cfg_shard, y0, band_h, carry_in)
-        # Gradient all-reduce over the pixel-band axis (ICI).
-        grads = jax.lax.psum(grads, TILE_AXIS)
+            # Gradient all-reduce over the pixel-band axis (ICI).
+            grads = jax.lax.psum(grads, TILE_AXIS)
 
         params_new, opt_new = adam_update(params, grads, opt, cfg)
 
@@ -306,6 +385,7 @@ def fit_sharded(
     log_fn=print,
     combine: str = "fold",
     renderer: str = "scan",
+    overlap_chunks: int = 0,
 ):
     """Host driver for multi-device fitting over a batch of targets."""
     refs = pad_ref_batch(jnp.asarray(refs), cfg)
@@ -313,7 +393,8 @@ def fit_sharded(
     if state is None:
         state = init_batched_state(cfg, batch)
     step, shardings = make_sharded_train_step(cfg, mesh, combine=combine,
-                                              renderer=renderer)
+                                              renderer=renderer,
+                                              overlap_chunks=overlap_chunks)
     state = jax.device_put(state, shardings["state"])
     refs = jax.device_put(refs, shardings["ref"])
     history = []

@@ -170,6 +170,14 @@ def fit(
     if use_fused:
         from gs2d_tpu.ops import render_pallas as rp
 
+        if cfg.max_splats_per_tile is None:
+            # Measure the real per-tile counts and size the static capacity
+            # to them (the default heuristic can overshoot 5-10x, inflating
+            # pregather + kernel DMA). Each fit() call (e.g. per densify
+            # block) re-tunes; rounding keeps the set of compiled K's small.
+            from gs2d_tpu.ops import tiles as _tl
+
+            cfg = _tl.tune_tile_capacity(state.params, cfg)
         step_fn = make_train_step_fused(cfg)
         ref = rp.pad_ref_chw(jnp.asarray(ref), cfg)
     else:

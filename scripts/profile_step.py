@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Phase-level timing of the fused train step at a given workload.
+
+Times (on the current default backend, forcing completion by scalar fetch):
+  binning only | fused kernel only (fixed binning) | adam only | full step |
+  scanned block (amortized)
+
+Usage:
+  python scripts/profile_step.py [--image squirrel_cls.jpg] [--splats 10240]
+      [--k 0 = heuristic] [--iters 30] [--scan 0]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def sync(x):
+    import jax.numpy as jnp
+
+    return float(jnp.sum(jnp.asarray(x).ravel()[:1]))
+
+
+def timeit(fn, *args, iters=20, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+        sync(jax.tree_util.tree_leaves(out)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    sync(jax.tree_util.tree_leaves(out)[0])
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--image", default="squirrel_cls.jpg")
+    ap.add_argument("--splats", type=int, default=10240)
+    ap.add_argument("--k", type=int, default=0)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--scan", type=int, default=0)
+    args = ap.parse_args()
+
+    global jax
+    import jax
+    import jax.numpy as jnp
+
+    import gs2d_tpu
+    gs2d_tpu.enable_compilation_cache()
+    from gs2d_tpu.config import SplatConfig
+    from gs2d_tpu.io.image import load_asset
+    from gs2d_tpu.ops import render_pallas as rp
+    from gs2d_tpu.ops import tiles as tl
+    from gs2d_tpu.train.adam import adam_update
+    from gs2d_tpu.train.loop import (init_train_state, make_fit_scan_fused,
+                                     make_train_step_fused)
+
+    ref = load_asset(args.image)
+    h, w = ref.shape[:2]
+    cfg = SplatConfig(width=w, height=h, n_splats=args.splats,
+                      max_splats_per_tile=(args.k if args.k > 0 else None))
+    state0 = init_train_state(cfg)
+    if args.k < 0:  # auto-tune from measured counts
+        cfg = tl.tune_tile_capacity(state0.params, cfg)
+    k = rp._max_per_tile(cfg)
+    print(f"config: {w}x{h}, {args.splats} splats, K={k}, "
+          f"tiles={cfg.n_tiles_y}x{cfg.n_tiles_x}", flush=True)
+
+    state = init_train_state(cfg)  # same init; cfg tuning doesn't change it
+    refc = rp.pad_ref_chw(jnp.asarray(ref), cfg)
+
+    bin_fn = jax.jit(lambda p: tl.bin_splats(p, cfg, k))
+    binning = bin_fn(state.params)
+    print("max tile count:", int(jnp.max(binning.count)),
+          "mean:", float(jnp.mean(binning.count.astype(jnp.float32))),
+          "dropped:", int(binning.n_dropped), flush=True)
+
+    t_bin = timeit(bin_fn, state.params, iters=args.iters)
+    print(f"binning:      {t_bin*1e3:8.2f} ms", flush=True)
+
+    kern_fn = jax.jit(
+        lambda b: rp.l2_render_and_grads(b, refc, cfg.n_splats, cfg))
+    t_kern = timeit(kern_fn, binning, iters=args.iters)
+    print(f"fused kernel: {t_kern*1e3:8.2f} ms", flush=True)
+
+    grads = kern_fn(binning)[1]
+    adam_fn = jax.jit(lambda s, g: adam_update(s.params, g, s.opt, cfg))
+    t_adam = timeit(adam_fn, state, grads, iters=args.iters)
+    print(f"adam:         {t_adam*1e3:8.2f} ms", flush=True)
+
+    step = make_train_step_fused(cfg)
+    t_step = timeit(lambda s: step(s, refc)[0], state, iters=args.iters)
+    print(f"full step:    {t_step*1e3:8.2f} ms "
+          f"(sum of phases {1e3*(t_bin+t_kern+t_adam):.2f})", flush=True)
+
+    if args.scan:
+        fit_k = make_fit_scan_fused(cfg)
+        st, auxes = fit_k(state, refc, args.scan)
+        sync(auxes.mse)
+        t0 = time.perf_counter()
+        st, auxes = fit_k(state, refc, args.scan)
+        sync(auxes.mse)
+        dt = (time.perf_counter() - t0) / args.scan
+        print(f"scan/iter:    {dt*1e3:8.2f} ms  ({1.0/dt:.1f} iters/s)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -178,3 +178,26 @@ class TestShardedPallasRenderer:
                         jax.tree.leaves(out["pallas"][0].params)):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=1e-4, atol=2e-3)
+
+    @pytest.mark.parametrize("axes", [{"tile": 2}, {"tile": 2, "splat": 2}])
+    def test_overlap_chunks_equivalent(self, axes):
+        """Chunked backward + per-chunk grad psum (the overlapped all-reduce
+        structure) == the single-psum form, for both the fused (splat=1)
+        and split (splat>1) pallas paths."""
+        cfg = cfg_for(32, min_throughput=0.0, max_splats_per_tile=32)
+        ref = jnp.asarray(synthetic_target(H, W))
+        mesh = make_mesh(**axes)
+        refs = pad_ref_batch(ref[None], cfg)
+        out = {}
+        for oc in (1, 2):  # band is 2 tile rows on this mesh
+            step, sh = make_sharded_train_step(cfg, mesh, renderer="pallas",
+                                               overlap_chunks=oc)
+            state = jax.device_put(init_batched_state(cfg, 1), sh["state"])
+            r = jax.device_put(refs, sh["ref"])
+            new_state, aux = step(state, r)
+            out[oc] = (new_state, float(aux.mse[0]))
+        assert np.isclose(out[1][1], out[2][1], rtol=1e-6)
+        for x, y in zip(jax.tree.leaves(out[1][0].params),
+                        jax.tree.leaves(out[2][0].params)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5, atol=1e-4)

@@ -66,6 +66,27 @@ class TestBinning:
         b = tl.bin_splats(to_params(s), cfg, 32)
         assert int(b.count.sum()) == 0
 
+    def test_counts_only_matches_full(self, rng):
+        """counts_only returns the untruncated per-tile counts."""
+        cfg, s, p = make_case(rng, 96)
+        full = tl.bin_splats(p, cfg, 96)
+        counts = tl.bin_splats(p, cfg, 1, counts_only=True)
+        np.testing.assert_array_equal(np.asarray(counts),
+                                      np.asarray(full.count))
+
+    def test_tune_tile_capacity(self, rng):
+        """Tuned capacity covers the measured max with margin; binning at the
+        tuned K drops nothing."""
+        cfg, s, p = make_case(rng, 96)
+        cfg = SplatConfig(width=W, height=H, n_splats=96)
+        tuned = tl.tune_tile_capacity(p, cfg)
+        k = tuned.max_splats_per_tile
+        counts = tl.bin_splats(p, cfg, 1, counts_only=True)
+        assert k >= int(np.asarray(counts).max())
+        assert k % 64 == 0 if k <= 256 else k % 256 == 0
+        b = tl.bin_splats(p, tuned, k)
+        assert int(b.n_dropped) == 0
+
 
 class TestPallasForward:
     @pytest.mark.parametrize("n", [1, 64, 192])
