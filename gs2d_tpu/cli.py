@@ -45,12 +45,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-render-every", type=int, default=0)
     p.add_argument("--densify-every", type=int, default=0,
                    help="run densify/prune every N iterations (0 = off)")
+    p.add_argument("--reorder-every", type=int, default=0,
+                   help="re-sort splats along the Morton curve every N "
+                        "iterations (improves binning locality at large N; "
+                        "changes the compositing order)")
     p.add_argument("--scan-chunk", type=int, default=0,
                    help="run iterations in on-device lax.scan blocks of this "
                         "size (0 = one dispatch per iteration); removes host "
                         "round-trips -- fastest on a remote TPU")
     p.add_argument("--max-per-tile", type=int, default=0,
                    help="per-tile splat capacity for the pallas path")
+    p.add_argument("--binning", choices=["auto", "dense", "flat"],
+                   default="auto",
+                   help="tile binning layout (auto picks flat above 64k "
+                        "splats; see ops/tiles_flat.py)")
     p.add_argument("--mesh", default="",
                    help="data,tile,splat axis sizes for multi-device runs "
                         "(e.g. 1,2,4); empty = single device")
@@ -83,6 +91,7 @@ def main(argv=None) -> int:
         optimize_opacity=args.optimize_opacity,
         use_exp_approx=not args.exact_exp,
         max_splats_per_tile=args.max_per_tile or None,
+        binning=args.binning,
     )
     refj = jnp.asarray(ref)
 
@@ -147,7 +156,10 @@ def main(argv=None) -> int:
         ck.save(it_done[0] + it, state, cfg)
 
     remaining = args.iters
-    block = args.densify_every if args.densify_every else remaining
+    block = remaining
+    for every in (args.densify_every, args.reorder_every):
+        if every:
+            block = min(block, every)
     while remaining > 0:
         n = min(block, remaining)
         state, hist = fit(
@@ -161,13 +173,19 @@ def main(argv=None) -> int:
             logger.log(**rec)
         it_done[0] += n
         remaining -= n
-        if remaining > 0 and args.densify_every:
+        if remaining > 0 and args.densify_every \
+                and it_done[0] % args.densify_every == 0:
             from gs2d_tpu.ops.render_jax import l2_loss
             from gs2d_tpu.train.densify import densify_and_prune
             g = jax.grad(l2_loss)(state.params, refj, cfg)
             mag = jnp.linalg.norm(g.pos, axis=-1)
             state = densify_and_prune(state, mag, cfg, seed=it_done[0])
             print(f"densify/prune at iter {it_done[0]}")
+        if remaining > 0 and args.reorder_every \
+                and it_done[0] % args.reorder_every == 0:
+            from gs2d_tpu.train.reorder import reorder_state
+            state = reorder_state(state, cfg)
+            print(f"morton reorder at iter {it_done[0]}")
         if args.save_render_every:
             img = render_fn(state.params, cfg)
             save_image(os.path.join(args.out, f"render_{it_done[0]:06d}.png"),

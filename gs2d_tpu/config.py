@@ -74,6 +74,18 @@ class SplatConfig:
     # row-major-truncated bbox, counted in TileBinning.n_dropped.
     max_tiles_per_splat: int = 32
 
+    # --- binning layout (net-new; see ops/tiles.py vs ops/tiles_flat.py) --
+    # "dense": padded (n_tiles, K) lists + single fused kernel -- best at
+    #   small/medium N. "flat": block-aligned flat pair array + scalar-
+    #   prefetch kernels, O(actual pairs) gather/scatter -- best at large N.
+    # "auto" picks by n_splats (see ops.render_pallas_flat.use_flat).
+    binning: str = "auto"
+    # Flat-layout statics (set by tiles_flat.tune_flat_capacity / fit()):
+    # chunk rows per kernel block, total flat rows, per-tile chunk cap.
+    flat_chunk: int = 256
+    flat_capacity: Optional[int] = None
+    flat_max_chunks: Optional[int] = None
+
     @property
     def image_shape(self) -> Tuple[int, int]:
         return (self.height, self.width)

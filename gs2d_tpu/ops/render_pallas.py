@@ -225,25 +225,23 @@ def _bwd_splat_step(params_ref, k, fx, fy, xx, yy, inside, cfg,
     ) * mw
 
     a, b, d = s["a"], s["b"], s["d"]
-    # d(alpha)/d(mu) (main.cpp:635-640); b == c in the symmetric inverse.
-    dal_dx = jnp.float32(0.5) * alpha * (jnp.float32(2.0) * a * vx + (b + b) * vy)
-    dal_dy = jnp.float32(0.5) * alpha * (jnp.float32(2.0) * d * vy + (b + b) * vx)
+    # d(alpha)/d(mu) (main.cpp:635-640); b == c in the symmetric inverse,
+    # with the 0.5 * 2 folded away.
+    dal_dx = alpha * (a * vx + b * vy)
+    dal_dy = alpha * (d * vy + b * vx)
 
     cosT, sinT = s["cosT"], s["sinT"]
     sx, sy = s["sx"], s["sy"]
-    vxx = vx * vx
-    vxy = vx * vy
-    vyy = vy * vy
-    # d(alpha)/d(sx, sy) (main.cpp:657-662)
-    dal_dsx = alpha / (sx * sx * sx) * (
-        cosT * cosT * vxx + jnp.float32(2.0) * sinT * cosT * vxy
-        + sinT * sinT * vyy)
-    dal_dsy = alpha / (sy * sy * sy) * (
-        sinT * sinT * vxx - jnp.float32(2.0) * sinT * cosT * vxy
-        + cosT * cosT * vyy)
-    # d(alpha)/d(theta) (main.cpp:680-683)
-    dal_dth = alpha * (sx * sx - sy * sy) / (sx * sx * sy * sy) * (
-        (cosT * cosT - sinT * sinT) * vxy - sinT * cosT * (vxx - vyy))
+    # Factored forms of main.cpp:657-683 (u = v rotated into the splat
+    # frame): the sx bracket is u^2, the sy bracket w^2, and the theta
+    # bracket is -u*w -- 7 vector ops instead of 17 for identical math
+    # (the reference computes the expanded trig forms; render_jax keeps
+    # them for bit-faithfulness, the kernels use the cheap factorization).
+    u = cosT * vx + sinT * vy
+    w = sinT * vx - cosT * vy
+    dal_dsx = alpha / (sx * sx * sx) * (u * u)
+    dal_dsy = alpha / (sy * sy * sy) * (w * w)
+    dal_dth = -alpha * (sx * sx - sy * sy) / (sx * sx * sy * sy) * (u * w)
 
     # Nine tile-wide sums, batched: sublane-reduce each, stack, ONE
     # cross-lane reduction (cross-lane reduces are the expensive VPU op).

@@ -170,7 +170,12 @@ def fit(
     if use_fused:
         from gs2d_tpu.ops import render_pallas as rp
 
-        if cfg.max_splats_per_tile is None:
+        from gs2d_tpu.ops import render_pallas_flat as _rpf
+
+        if _rpf.use_flat(cfg):
+            if cfg.flat_capacity is None or cfg.flat_max_chunks is None:
+                cfg = _rpf.tune_flat_config(state.params, cfg)
+        elif cfg.max_splats_per_tile is None:
             # Measure the real per-tile counts and size the static capacity
             # to them (the default heuristic can overshoot 5-10x, inflating
             # pregather + kernel DMA). Each fit() call (e.g. per densify
@@ -294,17 +299,25 @@ def _fit_scanned(
 
 
 def _fused_step_body(cfg: SplatConfig):
-    """The fused-Pallas train iteration as a pure function (shared by the
-    single-step, scanned, and batched wrappers)."""
+    """The production Pallas train iteration as a pure function (shared by
+    the single-step, scanned, and batched wrappers). Dispatches between the
+    dense fused kernel and the flat-layout kernels per cfg.binning."""
     from gs2d_tpu.ops import render_pallas as rp
+    from gs2d_tpu.ops import render_pallas_flat as rpf
     from gs2d_tpu.ops import tiles as tl
 
-    k = rp._max_per_tile(cfg)
+    flat = rpf.use_flat(cfg)
+    k = None if flat else rp._max_per_tile(cfg)
 
     def one_step(state: TrainState, ref_chw: jax.Array):
-        binning = tl.bin_splats(state.params, cfg, k)
-        color, grads = rp.l2_render_and_grads(
-            binning, ref_chw, cfg.n_splats, cfg)
+        if flat:
+            color, grads, n_dropped = rpf.l2_step_flat(
+                state.params, ref_chw, cfg)
+        else:
+            binning = tl.bin_splats(state.params, cfg, k)
+            color, grads = rp.l2_render_and_grads(
+                binning, ref_chw, cfg.n_splats, cfg)
+            n_dropped = binning.n_dropped
         params, opt = adam_update(state.params, grads, state.opt, cfg)
         finite = jnp.all(
             jnp.array(
@@ -316,7 +329,7 @@ def _fused_step_body(cfg: SplatConfig):
         mse = mse_255(color, ref_crop)
         return TrainState(params=params, opt=opt), StepAux(
             mse=mse, psnr=psnr_from_mse(mse), all_finite=finite,
-            n_dropped=binning.n_dropped,
+            n_dropped=n_dropped,
         )
 
     return one_step

@@ -41,6 +41,11 @@ def main():
     ap.add_argument("--k", type=int, default=0)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--scan", type=int, default=0)
+    ap.add_argument("--binning", default="dense",
+                    choices=["dense", "flat"])
+    ap.add_argument("--flat-chunk", type=int, default=256)
+    ap.add_argument("--size", default="",
+                    help="HxW synthetic target instead of --image")
     args = ap.parse_args()
 
     global jax
@@ -57,33 +62,64 @@ def main():
     from gs2d_tpu.train.loop import (init_train_state, make_fit_scan_fused,
                                      make_train_step_fused)
 
-    ref = load_asset(args.image)
-    h, w = ref.shape[:2]
+    from gs2d_tpu.ops import render_pallas_flat as rpf
+    from gs2d_tpu.ops import tiles_flat as tlf
+
+    if args.size:
+        from gs2d_tpu.io.image import synthetic_target
+
+        h, w = (int(x) for x in args.size.split("x"))
+        ref = synthetic_target(h, w)
+    else:
+        ref = load_asset(args.image)
+        h, w = ref.shape[:2]
     cfg = SplatConfig(width=w, height=h, n_splats=args.splats,
+                      binning=args.binning, flat_chunk=args.flat_chunk,
                       max_splats_per_tile=(args.k if args.k > 0 else None))
     state0 = init_train_state(cfg)
-    if args.k < 0:  # auto-tune from measured counts
-        cfg = tl.tune_tile_capacity(state0.params, cfg)
-    k = rp._max_per_tile(cfg)
-    print(f"config: {w}x{h}, {args.splats} splats, K={k}, "
-          f"tiles={cfg.n_tiles_y}x{cfg.n_tiles_x}", flush=True)
+    if args.binning == "flat":
+        cfg = rpf.tune_flat_config(state0.params, cfg)
+        print(f"config: {w}x{h}, {args.splats} splats, flat "
+              f"M={cfg.flat_capacity} chunks={cfg.flat_max_chunks} "
+              f"kc={cfg.flat_chunk}, tiles={cfg.n_tiles_y}x{cfg.n_tiles_x}",
+              flush=True)
+    else:
+        if args.k < 0:  # auto-tune from measured counts
+            cfg = tl.tune_tile_capacity(state0.params, cfg)
+        print(f"config: {w}x{h}, {args.splats} splats, "
+              f"K={rp._max_per_tile(cfg)}, "
+              f"tiles={cfg.n_tiles_y}x{cfg.n_tiles_x}", flush=True)
 
     state = init_train_state(cfg)  # same init; cfg tuning doesn't change it
     refc = rp.pad_ref_chw(jnp.asarray(ref), cfg)
 
-    bin_fn = jax.jit(lambda p: tl.bin_splats(p, cfg, k))
-    binning = bin_fn(state.params)
-    print("max tile count:", int(jnp.max(binning.count)),
-          "mean:", float(jnp.mean(binning.count.astype(jnp.float32))),
-          "dropped:", int(binning.n_dropped), flush=True)
-
-    t_bin = timeit(bin_fn, state.params, iters=args.iters)
-    print(f"binning:      {t_bin*1e3:8.2f} ms", flush=True)
-
-    kern_fn = jax.jit(
-        lambda b: rp.l2_render_and_grads(b, refc, cfg.n_splats, cfg))
-    t_kern = timeit(kern_fn, binning, iters=args.iters)
-    print(f"fused kernel: {t_kern*1e3:8.2f} ms", flush=True)
+    if args.binning == "flat":
+        bin_fn = jax.jit(lambda p: tlf.bin_splats_flat(
+            p, cfg, cfg.flat_capacity, kc=cfg.flat_chunk,
+            max_chunks=cfg.flat_max_chunks))
+        binning = bin_fn(state.params)
+        print("max tile count:", int(jnp.max(binning.count)),
+              "mean:", float(jnp.mean(binning.count.astype(jnp.float32))),
+              "dropped:", int(binning.n_dropped), flush=True)
+        t_bin = timeit(bin_fn, state.params, iters=args.iters)
+        print(f"binning:      {t_bin*1e3:8.2f} ms", flush=True)
+        kern_fn = jax.jit(lambda b: rpf.l2_render_and_grads_flat(
+            b, refc, cfg.n_splats, cfg, cfg.flat_chunk, cfg.flat_max_chunks))
+        t_kern = timeit(kern_fn, binning, iters=args.iters)
+        print(f"fwd+bwd:      {t_kern*1e3:8.2f} ms", flush=True)
+    else:
+        k = rp._max_per_tile(cfg)
+        bin_fn = jax.jit(lambda p: tl.bin_splats(p, cfg, k))
+        binning = bin_fn(state.params)
+        print("max tile count:", int(jnp.max(binning.count)),
+              "mean:", float(jnp.mean(binning.count.astype(jnp.float32))),
+              "dropped:", int(binning.n_dropped), flush=True)
+        t_bin = timeit(bin_fn, state.params, iters=args.iters)
+        print(f"binning:      {t_bin*1e3:8.2f} ms", flush=True)
+        kern_fn = jax.jit(
+            lambda b: rp.l2_render_and_grads(b, refc, cfg.n_splats, cfg))
+        t_kern = timeit(kern_fn, binning, iters=args.iters)
+        print(f"fused kernel: {t_kern*1e3:8.2f} ms", flush=True)
 
     grads = kern_fn(binning)[1]
     adam_fn = jax.jit(lambda s, g: adam_update(s.params, g, s.opt, cfg))

@@ -1,0 +1,203 @@
+#!/usr/bin/env python
+"""Speed-of-light accounting for the splat kernels on the current chip.
+
+Methodology (all ceilings MEASURED on this chip, not copied from datasheets):
+
+1. HBM bandwidth ceiling: time ``y = x + 1`` over a large f32 array
+   (reads + writes = 2 x size).
+2. VPU f32 ceiling: a synthetic Pallas kernel of independent FMA chains on
+   (8, 128) registers -- the same shape the splat kernels use -- with
+   enough ILP to saturate issue. Reports FMA/s (1 FMA = 2 FLOP).
+3. For each workload: run binning + kernels, convert measured time into
+   - achieved pair-steps/s (one pair-step = one splat evaluated on one
+     8x128 pixel tile, the kernel's unit of work),
+   - achieved VPU utilization = pair-steps/s * ops-per-pair-step
+     (hand-counted below) / measured VPU ceiling,
+   - achieved HBM GB/s over the arrays actually moved vs the copy ceiling.
+
+Hand op-count per pair-step (f32 vector ops on (8,128), from
+render_pallas._splat_terms/_fwd_one/_bwd_splat_step):
+  forward   ~40  (coverage 22, alpha/exp 8, composite 10)
+  backward  ~95  (replay 40, dL/dalpha 18, param grads 19, 9 sublane
+                  reduces ~14, one-hot accumulate ~4/lane-block)
+Results land in BASELINE.md.
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def sync(x):
+    import jax.numpy as jnp
+
+    return float(jnp.sum(jnp.asarray(x).ravel()[:1]))
+
+
+def measure_hbm_bw():
+    """GB/s of a big elementwise pass (read + write)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 256 * 1024 * 1024 // 4  # 256 MB f32
+    x = jnp.zeros((n,), jnp.float32)
+    f = jax.jit(lambda a: a + jnp.float32(1.0))
+    y = f(x)
+    sync(y)
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = f(y)
+    sync(y)
+    dt = (time.perf_counter() - t0) / iters
+    return 2 * n * 4 / dt / 1e9
+
+
+def measure_vpu_fma():
+    """Measured f32 FMA/s ceiling with an ILP-heavy Pallas kernel."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    LANES = 8  # independent accumulator registers (ILP)
+    INNER = 256
+    GRID = 4096
+
+    def kernel(out_ref):
+        accs = [jnp.full((8, 128), jnp.float32(1.0 + i)) for i in range(LANES)]
+        c = jnp.float32(1.0000001)
+
+        def body(_, accs):
+            return tuple(a * c + jnp.float32(1e-9) for a in accs)
+
+        accs = jax.lax.fori_loop(0, INNER, body, tuple(accs))
+        out_ref[...] = sum(accs)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(GRID,),
+        out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+    )
+    f = jax.jit(out)
+    y = f()
+    sync(y)
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = f()
+    sync(y)
+    dt = (time.perf_counter() - t0) / iters
+    fmas = GRID * INNER * LANES * 8 * 128
+    return fmas / dt
+
+
+FWD_OPS = 40   # vector ops per pair-step, hand-counted (docstring)
+BWD_OPS = 95
+
+
+def workload(name, w, h, n_splats, binning, image=None, iters=10):
+    import jax
+    import jax.numpy as jnp
+
+    from gs2d_tpu.config import SplatConfig
+    from gs2d_tpu.io.image import load_asset, synthetic_target
+    from gs2d_tpu.ops import render_pallas as rp
+    from gs2d_tpu.ops import render_pallas_flat as rpf
+    from gs2d_tpu.ops import tiles as tl
+    from gs2d_tpu.ops import tiles_flat as tlf
+    from gs2d_tpu.train.loop import init_train_state
+
+    ref = load_asset(image) if image else synthetic_target(h, w)
+    cfg = SplatConfig(width=w, height=h, n_splats=n_splats, binning=binning)
+    state = init_train_state(cfg)
+    if binning == "flat":
+        cfg = rpf.tune_flat_config(state.params, cfg)
+        bin_fn = jax.jit(lambda p: tlf.bin_splats_flat(
+            p, cfg, cfg.flat_capacity, kc=cfg.flat_chunk,
+            max_chunks=cfg.flat_max_chunks))
+    else:
+        cfg = tl.tune_tile_capacity(state.params, cfg)
+        k = rp._max_per_tile(cfg)
+        bin_fn = jax.jit(lambda p: tl.bin_splats(p, cfg, k))
+    refc = rp.pad_ref_chw(jnp.asarray(ref), cfg)
+    b = bin_fn(state.params)
+    pair_steps = int(jnp.sum(
+        (b.count + cfg.tile_h * 0) if binning != "flat" else b.count))
+    # For the dense path count = per-tile live entries too.
+    if binning == "flat":
+        kern = jax.jit(lambda bb: rpf.l2_render_and_grads_flat(
+            bb, refc, cfg.n_splats, cfg, cfg.flat_chunk,
+            cfg.flat_max_chunks))
+        rows_bytes = (b.rows.size + b.ids.size) * 4 \
+            + b.rows.size * 4  # params read + grads written back
+    else:
+        kern = jax.jit(lambda bb: rp.l2_render_and_grads(
+            bb, refc, cfg.n_splats, cfg))
+        kk = b.ids.shape[1]
+        n_tiles = b.ids.shape[0]
+        rows_bytes = n_tiles * kk * tl.N_FIELDS * 4 * 2  # params + grads
+
+    out = kern(b)
+    sync(out[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = kern(b)
+    sync(out[0])
+    dt = (time.perf_counter() - t0) / iters
+
+    ops = pair_steps * (FWD_OPS + BWD_OPS) * 8 * 128  # vector-lane ops
+    return {
+        "workload": name,
+        "pair_steps": pair_steps,
+        "kernel_ms": dt * 1e3,
+        "pair_steps_per_s": pair_steps / dt,
+        "vpu_ops_per_s": ops / dt,
+        "hbm_bytes": rows_bytes,
+        "hbm_gbps": rows_bytes / dt / 1e9,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-ceilings", action="store_true")
+    args = ap.parse_args()
+
+    import gs2d_tpu
+    gs2d_tpu.enable_compilation_cache()
+
+    if not args.skip_ceilings:
+        bw = measure_hbm_bw()
+        print(f"HBM elementwise BW ceiling: {bw:8.1f} GB/s", flush=True)
+        vpu = measure_vpu_fma()
+        print(f"VPU f32 FMA ceiling:        {vpu/1e12:8.3f} TFMA/s "
+              f"({2*vpu/1e12:.3f} TFLOP/s)", flush=True)
+    else:
+        bw = vpu = None
+
+    cases = [
+        ("mini 1k", 268, 213, 1024, "dense", "squirrel_cls_mini.jpg"),
+        ("10k", 535, 426, 10240, "dense", "squirrel_cls.jpg"),
+        ("10k flat", 535, 426, 10240, "flat", "squirrel_cls.jpg"),
+        ("1080p 100k flat", 1920, 1080, 102400, "flat", None),
+    ]
+    for name, w, h, n, binning, image in cases:
+        r = workload(name, w, h, n, binning, image)
+        line = (f"{name:18s} pair-steps {r['pair_steps']:>9d}  "
+                f"kernel {r['kernel_ms']:7.2f} ms  "
+                f"{r['pair_steps_per_s']/1e6:6.1f} M pair-steps/s  "
+                f"param-rows {r['hbm_gbps']:6.1f} GB/s")
+        if vpu:
+            util = r["vpu_ops_per_s"] / (vpu)  # ops vs FMA slots
+            line += f"  VPU ~{100*util:5.1f}% of measured ceiling"
+        print(line, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,15 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(1234)
+@pytest.fixture
+def rng(request):
+    """Per-test deterministic RNG.
+
+    Seeded from the test id, NOT shared across tests: a session-scoped
+    stream made every test's data depend on how many draws ran before it,
+    so adding a test file could shift an fp-marginal case past tolerance
+    in an unrelated test."""
+    import zlib
+
+    seed = zlib.crc32(request.node.nodeid.encode()) & 0xFFFF
+    return np.random.default_rng(1234 + seed)
