@@ -155,7 +155,23 @@ def main(argv=None) -> int:
         # it_done[0] tracks the global iteration across blocks and resume.
         ck.save(it_done[0] + it, state, cfg)
 
-    remaining = args.iters
+    if args.densify_every and use_pallas:
+        # Production adaptive-density path: the densify signal accumulates
+        # on device inside the train step (no extra render/grad passes).
+        from gs2d_tpu.train.densify import fit_adaptive
+
+        state, hist = fit_adaptive(
+            refj, cfg, iterations=args.iters,
+            densify_every=args.densify_every, state=state,
+            scan_chunk=args.scan_chunk, log_every=args.log_every,
+            log_fn=log_fn, reorder_every=args.reorder_every)
+        for rec in hist:
+            rec["iter"] += it_done[0]
+            logger.log(**rec)
+        it_done[0] += args.iters
+        remaining = 0
+    else:
+        remaining = args.iters
     block = remaining
     for every in (args.densify_every, args.reorder_every):
         if every:

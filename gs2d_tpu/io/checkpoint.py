@@ -91,8 +91,11 @@ class Checkpointer:
         if self.use_orbax:
             import orbax.checkpoint as ocp
 
-            self._mgr.save(step, args=ocp.args.StandardSave(
-                jax.tree.map(np.asarray, state)))
+            # Pass jax.Arrays through untouched: orbax writes sharded arrays
+            # per-shard (multi-host safe). Forcing np.asarray here would
+            # all-gather every array onto one host and fail on
+            # process-spanning shardings.
+            self._mgr.save(step, args=ocp.args.StandardSave(state))
             self._mgr.wait_until_finished()
             if cfg is not None:
                 with open(os.path.join(self.directory, "config.json"), "w") as f:
@@ -121,12 +124,23 @@ class Checkpointer:
         return steps[-1] if steps else None
 
     def restore(self, step: int, like: TrainState) -> TrainState:
+        """Restore state shaped (and sharded) like ``like``.
+
+        ``like``'s leaves may be concrete jax.Arrays (their shardings are
+        reused -- arrays land directly on the mesh, per-shard, no host
+        round-trip) or plain host arrays (single-process restore)."""
         if self.use_orbax:
             import orbax.checkpoint as ocp
 
+            def absify(x):
+                if isinstance(x, jax.Array):
+                    return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                                sharding=x.sharding)
+                return np.asarray(x)
+
             restored = self._mgr.restore(
                 step, args=ocp.args.StandardRestore(
-                    jax.tree.map(np.asarray, like)))
+                    jax.tree.map(absify, like)))
             return jax.tree.unflatten(
                 jax.tree.structure(like), jax.tree.leaves(restored))
         return load_npz(os.path.join(self.directory, f"step_{step}.npz"), like)

@@ -27,6 +27,7 @@ bit-for-bit.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -316,23 +317,27 @@ def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
             # Gradient all-reduce over the pixel-band axis (ICI).
             grads = jax.lax.psum(grads, TILE_AXIS)
 
+        # Densify signal: |dL/d pos| per local splat shard (grads are
+        # already tile-psum'd, so this matches the unsharded signal).
+        gmag = jnp.linalg.norm(grads.pos, axis=-1)
         params_new, opt_new = adam_update(params, grads, opt, cfg)
 
         # Metrics: MSE over real pixels only (band sums psum'd over tiles).
         band_sq = jnp.sum(gC * gC)  # zero on padding by construction
         mse = jax.lax.psum(band_sq, TILE_AXIS) * jnp.float32(255.0 * 255.0) \
             / jnp.float32(n_real_px)
-        return params_new, opt_new, mse, n_drop
+        return params_new, opt_new, mse, n_drop, gmag
 
     def local_step(state: TrainState, refs):
         # vmap over the local batch slice.
         def img(params, m, v, b1t, b2t, stp, ref_band):
             opt = type(state.opt)(m=m, v=v, beta1t=b1t, beta2t=b2t, step=stp)
-            p_new, o_new, mse, n_drop = one_image_step(params, opt, ref_band)
+            p_new, o_new, mse, n_drop, gmag = one_image_step(
+                params, opt, ref_band)
             return p_new, o_new.m, o_new.v, o_new.beta1t, o_new.beta2t, \
-                o_new.step, mse, n_drop
+                o_new.step, mse, n_drop, gmag
 
-        p_new, m_new, v_new, b1t, b2t, stp, mse, n_drop = jax.vmap(img)(
+        p_new, m_new, v_new, b1t, b2t, stp, mse, n_drop, gmag = jax.vmap(img)(
             state.params, state.opt.m, state.opt.v, state.opt.beta1t,
             state.opt.beta2t, state.opt.step, refs)
         opt = type(state.opt)(m=m_new, v=v_new, beta1t=b1t, beta2t=b2t,
@@ -353,12 +358,13 @@ def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
 
         aux = StepAux(mse=mse, psnr=psnr_from_mse(mse),
                       all_finite=jnp.broadcast_to(finite, mse.shape),
-                      n_dropped=drop_total)
+                      n_dropped=drop_total, pos_grad_mag=gmag)
         return new_state, aux
 
     sspec = state_pspec()
     aux_spec = StepAux(mse=P(DATA_AXIS), psnr=P(DATA_AXIS),
-                       all_finite=P(DATA_AXIS), n_dropped=P())
+                       all_finite=P(DATA_AXIS), n_dropped=P(),
+                       pos_grad_mag=P(DATA_AXIS, SPLAT_AXIS))
 
     sharded = shard_map(
         local_step, mesh=mesh,
@@ -386,8 +392,15 @@ def fit_sharded(
     combine: str = "fold",
     renderer: str = "scan",
     overlap_chunks: int = 0,
+    densify_every: int = 0,
+    densify_cfg=None,
 ):
-    """Host driver for multi-device fitting over a batch of targets."""
+    """Host driver for multi-device fitting over a batch of targets.
+
+    ``densify_every`` enables per-image adaptive density control from the
+    on-device accumulated |dL/d pos| signal (StepAux.pos_grad_mag); the
+    densify op itself runs jitted on the sharded state (GSPMD inserts the
+    collectives its argsort needs)."""
     refs = pad_ref_batch(jnp.asarray(refs), cfg)
     batch = refs.shape[0]
     if state is None:
@@ -397,10 +410,25 @@ def fit_sharded(
                                               overlap_chunks=overlap_chunks)
     state = jax.device_put(state, shardings["state"])
     refs = jax.device_put(refs, shardings["ref"])
+    densify_fn = None
+    if densify_every:
+        from gs2d_tpu.train.densify import (DensifyConfig,
+                                            densify_and_prune_batched)
+
+        dcfg = densify_cfg or DensifyConfig()
+        densify_fn = jax.jit(functools.partial(
+            densify_and_prune_batched, cfg=cfg, dcfg=dcfg))
+    accum = None
     history = []
     warned_drop = False
     for it in range(iterations):
         state, aux = step(state, refs)
+        if densify_fn is not None:
+            accum = aux.pos_grad_mag if accum is None \
+                else accum + aux.pos_grad_mag
+            if (it + 1) % densify_every == 0 and it + 1 < iterations:
+                state = densify_fn(state, accum, seed=it + 1)
+                accum = None
         if it % 32 == 31:  # bound the dispatch queue (see train/loop.py)
             jax.block_until_ready(aux.mse)
             float(aux.mse[0])

@@ -164,3 +164,91 @@ def densify_and_prune_batched(state: TrainState, pos_grad_mag, cfg,
     return jax.vmap(
         lambda s, g: densify_and_prune(s, g, cfg, dcfg, seed)
     )(state, pos_grad_mag)
+
+
+def fit_adaptive(
+    ref,
+    cfg: SplatConfig,
+    iterations: int,
+    densify_every: int,
+    state: TrainState | None = None,
+    dcfg: DensifyConfig = DensifyConfig(),
+    scan_chunk: int = 0,
+    log_every: int = 0,
+    log_fn=print,
+    reorder_every: int = 0,
+):
+    """Production adaptive-density fitting on the fused Pallas path.
+
+    The densification signal -- |dL/d pos| accumulated over the preceding
+    window (the 3DGS view-space gradient recipe) -- is summed ON DEVICE by
+    the train step itself (StepAux.pos_grad_mag; inside the scan carry when
+    ``scan_chunk`` > 1), so enabling densify adds no host transfers and no
+    extra rendering passes. Every ``densify_every`` iterations the window's
+    accumulated signal drives densify_and_prune; ``reorder_every`` (a
+    multiple of densify_every, or used alone) interleaves Morton reordering.
+
+    Returns (state, history).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gs2d_tpu.ops import render_pallas as rp
+    from gs2d_tpu.ops import render_pallas_flat as rpf
+    from gs2d_tpu.train.loop import (init_train_state, make_fit_scan_fused,
+                                     make_train_step_fused)
+
+    if state is None:
+        state = init_train_state(cfg)
+    if rpf.use_flat(cfg):
+        if cfg.flat_capacity is None:
+            cfg = rpf.tune_flat_config(state.params, cfg)
+    elif cfg.max_splats_per_tile is None:
+        from gs2d_tpu.ops import tiles as tl
+
+        cfg = tl.tune_tile_capacity(state.params, cfg)
+    refp = rp.pad_ref_chw(jnp.asarray(ref), cfg)
+
+    history = []
+    done = 0
+    while done < iterations:
+        window = min(densify_every, iterations - done)
+        accum = jnp.zeros((cfg.n_splats,), jnp.float32)
+        if scan_chunk and scan_chunk > 1:
+            fit_k = make_fit_scan_fused(cfg, True)
+            w_done = 0
+            while w_done < window:
+                n = min(scan_chunk, window - w_done)
+                state, auxes = fit_k(state, refp, n)
+                accum = accum + auxes.pos_grad_mag
+                if log_every:
+                    mse = jax.device_get(auxes.mse)
+                    for j in range(n):
+                        it = done + w_done + j
+                        if it % log_every == 0 or it == iterations - 1:
+                            rec = {"iter": it, "mse": float(mse[j])}
+                            history.append(rec)
+                            if log_fn:
+                                log_fn(f"{it} itr, mse {rec['mse']:.4f}")
+                w_done += n
+        else:
+            step = make_train_step_fused(cfg, True)
+            for j in range(window):
+                state, aux = step(state, refp)
+                accum = accum + aux.pos_grad_mag  # device-side, async
+                it = done + j
+                if log_every and (it % log_every == 0
+                                  or it == iterations - 1):
+                    rec = {"iter": it, "mse": float(aux.mse)}
+                    history.append(rec)
+                    if log_fn:
+                        log_fn(f"{it} itr, mse {rec['mse']:.4f}")
+        done += window
+        if done < iterations:
+            state = densify_and_prune(state, accum, cfg, dcfg, seed=done)
+            if reorder_every and done % reorder_every == 0:
+                from gs2d_tpu.train.reorder import reorder_state
+
+                state = reorder_state(state, cfg)
+    jax.block_until_ready(state.params.pos)
+    return state, history

@@ -50,6 +50,10 @@ class StepAux(NamedTuple):
     # tile pipeline's coverage contract; 0 on the scan path which has no
     # binning). Surfaced so capacity overflow is never silent.
     n_dropped: jax.Array = 0
+    # (N,) |dL/d pos| of this step -- the densification signal (3DGS's
+    # view-space gradient norm, accumulated over the window by the fit
+    # drivers). Scalar 0 when the step was built without it.
+    pos_grad_mag: jax.Array = 0
 
 
 RenderFn = Callable[[GaussianParams, SplatConfig], jax.Array]
@@ -298,10 +302,11 @@ def _fit_scanned(
     return state, history
 
 
-def _fused_step_body(cfg: SplatConfig):
+def _fused_step_body(cfg: SplatConfig, with_grad_mag: bool = False):
     """The production Pallas train iteration as a pure function (shared by
     the single-step, scanned, and batched wrappers). Dispatches between the
-    dense fused kernel and the flat-layout kernels per cfg.binning."""
+    dense fused kernel and the flat-layout kernels per cfg.binning.
+    ``with_grad_mag`` adds the (N,) |dL/d pos| densify signal to the aux."""
     from gs2d_tpu.ops import render_pallas as rp
     from gs2d_tpu.ops import render_pallas_flat as rpf
     from gs2d_tpu.ops import tiles as tl
@@ -318,6 +323,7 @@ def _fused_step_body(cfg: SplatConfig):
             color, grads = rp.l2_render_and_grads(
                 binning, ref_chw, cfg.n_splats, cfg)
             n_dropped = binning.n_dropped
+        gmag = jnp.linalg.norm(grads.pos, axis=-1) if with_grad_mag else 0
         params, opt = adam_update(state.params, grads, state.opt, cfg)
         finite = jnp.all(
             jnp.array(
@@ -329,14 +335,14 @@ def _fused_step_body(cfg: SplatConfig):
         mse = mse_255(color, ref_crop)
         return TrainState(params=params, opt=opt), StepAux(
             mse=mse, psnr=psnr_from_mse(mse), all_finite=finite,
-            n_dropped=n_dropped,
+            n_dropped=n_dropped, pos_grad_mag=gmag,
         )
 
     return one_step
 
 
 @functools.lru_cache(maxsize=32)
-def make_train_step_fused(cfg: SplatConfig):
+def make_train_step_fused(cfg: SplatConfig, with_grad_mag: bool = False):
     """Production single-device train step: fused Pallas L2 kernel (memoized
     on cfg so repeated fit() calls reuse the compiled step).
 
@@ -346,11 +352,11 @@ def make_train_step_fused(cfg: SplatConfig):
     Semantically identical (bitwise on the forward) to the modular
     custom-VJP path; specialized to the reference's L2 objective.
     """
-    return jax.jit(_fused_step_body(cfg))
+    return jax.jit(_fused_step_body(cfg, with_grad_mag))
 
 
 @functools.lru_cache(maxsize=32)
-def make_fit_scan_fused(cfg: SplatConfig):
+def make_fit_scan_fused(cfg: SplatConfig, with_grad_mag: bool = False):
     """On-device multi-iteration fused fitter: ``lax.scan`` of the fused
     Pallas step.
 
@@ -359,17 +365,29 @@ def make_fit_scan_fused(cfg: SplatConfig):
     shape for the tunneled/remote TPU runtime, where per-dispatch latency
     (~ms) is comparable to the step itself. Returns
     ``fit_k(state, ref_chw, n_iters)`` (``n_iters`` static) -> (final state,
-    stacked per-iteration StepAux histories).
+    stacked per-iteration StepAux histories). With ``with_grad_mag`` the
+    (N,) densify signal is summed in the scan carry (not stacked per iter)
+    and replaces the aux's per-step field.
     """
-    one_step = _fused_step_body(cfg)
+    one_step = _fused_step_body(cfg, with_grad_mag)
 
     @functools.partial(jax.jit, static_argnames=("n_iters",))
     def fit_k(state: TrainState, ref_chw: jax.Array, n_iters: int):
-        def body(carry, _):
-            new_state, aux = one_step(carry, ref_chw)
-            return new_state, aux
+        accum0 = jnp.zeros((cfg.n_splats,), jnp.float32)
 
-        return jax.lax.scan(body, state, None, length=n_iters)
+        def body(carry, _):
+            st, acc = carry
+            new_state, aux = one_step(st, ref_chw)
+            if with_grad_mag:
+                acc = acc + aux.pos_grad_mag
+                aux = aux._replace(pos_grad_mag=0)
+            return (new_state, acc), aux
+
+        (state, accum), auxes = jax.lax.scan(
+            body, (state, accum0), None, length=n_iters)
+        if with_grad_mag:
+            auxes = auxes._replace(pos_grad_mag=accum)
+        return state, auxes
 
     return fit_k
 

@@ -15,6 +15,33 @@ from gs2d_tpu.ops import geometry
 from gs2d_tpu.params import GaussianParams
 
 
+# Minimal 3x5 bitmap glyphs for the per-splat info text (digits, ':', '.').
+_GLYPHS = {
+    "0": "111101101101111", "1": "010110010010111", "2": "111001111100111",
+    "3": "111001111001111", "4": "101101111001001", "5": "111100111001111",
+    "6": "111100111101111", "7": "111001001001001", "8": "111101111101111",
+    "9": "111101111001111", ":": "000010000010000", ".": "000000000000010",
+}
+
+
+def _draw_text(img: np.ndarray, org, text: str, color):
+    """Blit 3x5 bitmap text at ``org`` (x, y) -- the headless stand-in for
+    the reference's DrawText splat info readout (main.cpp:479-484)."""
+    h, w = img.shape[:2]
+    x0 = int(round(float(org[0])))
+    y0 = int(round(float(org[1])))
+    for ch in text:
+        bits = _GLYPHS.get(ch)
+        if bits is not None:
+            for r in range(5):
+                for cidx in range(3):
+                    if bits[r * 3 + cidx] == "1":
+                        y, x = y0 + r, x0 + cidx
+                        if 0 <= y < h and 0 <= x < w:
+                            img[y, x] = color
+        x0 += 4
+
+
 def _draw_line(img: np.ndarray, p0, p1, color):
     """DDA line draw (the reference's drawLineDDA analog, main.cpp:368)."""
     h, w = img.shape[:2]
@@ -37,9 +64,12 @@ def overlay_splats(
     draw_axes: bool = True,
     draw_ellipse: bool = True,
     draw_bbox: bool = True,
+    show_info: bool = False,
 ) -> np.ndarray:
     """Return a copy of ``base`` (H, W, 3 float in [0,1]) with per-splat debug
-    geometry drawn on top (reference main.cpp:441-477)."""
+    geometry drawn on top (reference main.cpp:441-477). ``show_info`` adds
+    the per-splat "index:opacity" text readout (the reference's
+    showSplatInfo toggle, main.cpp:479-484)."""
     img = np.array(base, dtype=np.float32, copy=True)
     pos = np.asarray(params.pos)
     sx = np.asarray(params.sx)
@@ -80,4 +110,7 @@ def overlay_splats(
             corners = [c + [-hx, -hy], c + [hx, -hy], c + [hx, hy], c + [-hx, hy]]
             for j in range(4):
                 _draw_line(img, corners[j], corners[(j + 1) % 4], gray)
+        if show_info:
+            op = float(np.asarray(params.opacity)[i])
+            _draw_text(img, c + [2.0, 2.0], f"{i}:{op:.2f}", white)
     return np.clip(img, 0.0, 1.0)

@@ -94,6 +94,56 @@ def test_dead_slots_survive_training_steps():
     assert (np.asarray(state.params.opacity)[dead] == 0.0).all()
 
 
+def test_step_signal_matches_explicit_grad():
+    """StepAux.pos_grad_mag == |jax.grad(l2_loss).pos| at the same state."""
+    from gs2d_tpu.ops import render_pallas as rp
+    from gs2d_tpu.train.loop import make_train_step_fused
+
+    cfg = SplatConfig(width=W, height=H, n_splats=32, max_splats_per_tile=32)
+    ref = jnp.asarray(synthetic_target(H, W))
+    state = init_train_state(cfg)
+    step = make_train_step_fused(cfg, True)
+    refp = rp.pad_ref_chw(ref, cfg)
+    _, aux = step(state, refp)
+    g = jax.grad(l2_loss)(state.params, ref, cfg)
+    want = jnp.linalg.norm(g.pos, axis=-1)
+    np.testing.assert_allclose(np.asarray(aux.pos_grad_mag),
+                               np.asarray(want), rtol=1e-3, atol=1e-4)
+
+
+def test_fit_adaptive_refills_and_improves():
+    """Adaptive density control refills pruned capacity from the on-device
+    signal and beats the same budget spent with the capacity left dead."""
+    from gs2d_tpu.train.densify import fit_adaptive
+    from gs2d_tpu.train.loop import fit
+
+    cfg = SplatConfig(width=W, height=H, n_splats=32, max_splats_per_tile=32)
+    ref = jnp.asarray(synthetic_target(H, W))
+    state0 = init_train_state(cfg)
+    # collapse a third of the population to the prune threshold
+    p = state0.params
+    p = p.replace(sx=p.sx.at[:10].set(1.0), sy=p.sy.at[:10].set(1.0))
+    state0 = state0.replace(params=p)
+
+    sA, hA = fit_adaptive(ref, cfg, iterations=40, densify_every=10,
+                          state=state0, log_every=39, log_fn=None)
+    sB, hB = fit(ref, cfg, iterations=40, state=state0, log_every=39,
+                 log_fn=None, use_fused=True)
+    assert int(n_live(sA.params)) == 32  # refilled to capacity
+    assert hA[-1]["mse"] < hB[-1]["mse"] * 1.02  # at least on par
+
+
+def test_fit_adaptive_scan_path():
+    """fit_adaptive with scan_chunk uses the in-carry accumulated signal."""
+    from gs2d_tpu.train.densify import fit_adaptive
+
+    cfg = SplatConfig(width=W, height=H, n_splats=32, max_splats_per_tile=32)
+    ref = jnp.asarray(synthetic_target(H, W))
+    state, hist = fit_adaptive(ref, cfg, iterations=20, densify_every=10,
+                               scan_chunk=5, log_every=19, log_fn=None)
+    assert np.isfinite(hist[-1]["mse"])
+
+
 def test_training_still_converges_after_densify():
     cfg = SplatConfig(width=W, height=H, n_splats=48)
     ref = jnp.asarray(synthetic_target(H, W))

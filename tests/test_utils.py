@@ -35,6 +35,20 @@ class TestVisualize:
                               draw_ellipse=False, draw_bbox=False)
         np.testing.assert_array_equal(none, base)
 
+    def test_overlay_info_text(self):
+        """show_info draws the per-splat index:opacity readout (the
+        reference's showSplatInfo toggle, main.cpp:479-484)."""
+        cfg = SplatConfig(width=64, height=48, n_splats=4)
+        p = init_params(cfg)
+        base = np.zeros((48, 64, 3), np.float32)
+        geo = overlay_splats(base, p, cfg, draw_axes=False,
+                             draw_ellipse=False, draw_bbox=False)
+        txt = overlay_splats(base, p, cfg, draw_axes=False,
+                             draw_ellipse=False, draw_bbox=False,
+                             show_info=True)
+        assert (txt != geo).any()  # glyph pixels were added
+        assert txt.max() <= 1.0
+
 
 class TestProfiling:
     def test_phase_timer(self):
