@@ -180,26 +180,30 @@ def bin_splats_flat(
     start = jnp.minimum(start_raw, m_cap)
 
     # --- stitch segment runs into the flat array (one gather) -------------
-    # For each output row j: its tile comes from a scatter of run starts +
-    # cumsum (much cheaper on TPU than an M-wide searchsorted: one small
-    # scatter and a prefix sum instead of log2(n_tiles) gather rounds); its
-    # within-run rank r = j - start[tile] falls in segment s where
-    # base[s] <= r < base[s] + seg_counts[s] (segments concatenate in index
-    # order, preserving the compositing order across segments).
+    # For each output row j: the within-run rank is r = j - start[tile_of_j],
+    # and rank r falls in segment s where base[s] <= r < base[s] +
+    # seg_counts[s] (segments concatenate in index order, preserving the
+    # compositing order across segments). Per-tile values are broadcast onto
+    # the M rows with a scatter of run-boundary deltas + prefix sum -- NOT
+    # an M-wide gather from the per-tile tables: the TPU gather unit pays
+    # per row, and each avoided M-gather costs more than the whole cumsum.
+    def run_broadcast(vals):
+        vals = vals.astype(jnp.int32)
+        out = jnp.zeros((m_cap,), jnp.int32).at[start[1:]].add(
+            vals[1:] - vals[:-1], mode="drop")  # start==m_cap rows drop
+        out = out.at[0].add(vals[0])
+        return jnp.cumsum(out)
+
     j = jnp.arange(m_cap, dtype=jnp.int32)
-    marks = jnp.zeros((m_cap,), jnp.int32).at[start[1:]].add(
-        1, mode="drop")  # start[t] == m_cap rows drop (dropped tiles)
-    tile_of_j = jnp.cumsum(marks)
-    tile_of_j = jnp.clip(tile_of_j, 0, n_tiles - 1)
-    r = j - start[tile_of_j]
-    r_ok = (r >= 0) & (r < count[tile_of_j])
+    r = j - run_broadcast(start)
+    r_ok = (r >= 0) & (r < run_broadcast(count))
 
     base = jnp.cumsum(seg_counts, axis=0) - seg_counts  # (S, n_tiles) excl
     ids = jnp.full((m_cap,), jnp.int32(-1))
     for s in range(n_segments):
-        rs = r - base[s][tile_of_j]
-        in_seg = r_ok & (rs >= 0) & (rs < seg_counts[s][tile_of_j])
-        src = jnp.where(in_seg, seg_starts[s][tile_of_j] + rs, 0)
+        rs = r - run_broadcast(base[s])
+        in_seg = r_ok & (rs >= 0) & (rs < run_broadcast(seg_counts[s]))
+        src = jnp.where(in_seg, run_broadcast(seg_starts[s]) + rs, 0)
         got = seg_local[s][src] + jnp.int32(s * nseg)
         ids = jnp.where(in_seg, got, ids)
 

@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--flat-chunk", type=int, default=256)
     ap.add_argument("--size", default="",
                     help="HxW synthetic target instead of --image")
+    ap.add_argument("--reorder", action="store_true",
+                    help="Morton-reorder the population before measuring")
     args = ap.parse_args()
 
     global jax
@@ -91,6 +93,11 @@ def main():
               f"tiles={cfg.n_tiles_y}x{cfg.n_tiles_x}", flush=True)
 
     state = init_train_state(cfg)  # same init; cfg tuning doesn't change it
+    if args.reorder:
+        from gs2d_tpu.train.reorder import reorder_state
+
+        state = jax.jit(lambda s: reorder_state(s, cfg))(state)
+        print("population Morton-reordered", flush=True)
     refc = rp.pad_ref_chw(jnp.asarray(ref), cfg)
 
     if args.binning == "flat":
