@@ -48,6 +48,9 @@ def main():
                     help="HxW synthetic target instead of --image")
     ap.add_argument("--reorder", action="store_true",
                     help="Morton-reorder the population before measuring")
+    ap.add_argument("--init-scale", default="",
+                    help="MIN,MAX splat init sigma (default reference 6,10; "
+                         "dense populations want pixel-scale init)")
     args = ap.parse_args()
 
     global jax
@@ -75,9 +78,14 @@ def main():
     else:
         ref = load_asset(args.image)
         h, w = ref.shape[:2]
+    extra = {}
+    if args.init_scale:
+        lo, hi = (float(x) for x in args.init_scale.split(","))
+        extra = {"init_scale_min": lo, "init_scale_max": hi}
     cfg = SplatConfig(width=w, height=h, n_splats=args.splats,
                       binning=args.binning, flat_chunk=args.flat_chunk,
-                      max_splats_per_tile=(args.k if args.k > 0 else None))
+                      max_splats_per_tile=(args.k if args.k > 0 else None),
+                      **extra)
     state0 = init_train_state(cfg)
     if args.binning == "flat":
         cfg = rpf.tune_flat_config(state0.params, cfg)
