@@ -191,6 +191,13 @@ def fit(
         ref = rp.pad_ref_chw(jnp.asarray(ref), cfg)
     else:
         step_fn = make_train_step(cfg, render_fn)
+    if use_fused and scan_chunk and scan_chunk > 1 and _needs_split(cfg):
+        # Scanning would fuse binning+kernels into one program; at these
+        # step times (>1 s) dispatch overhead is noise, so run split steps.
+        if log_fn:
+            log_fn("scan_chunk ignored: flat capacity exceeds the "
+                   "single-program memory budget (split steps)")
+        scan_chunk = 0
     if scan_chunk and scan_chunk > 1:
         return _fit_scanned(
             ref, cfg, iterations, state, scan_chunk,
@@ -341,6 +348,50 @@ def _fused_step_body(cfg: SplatConfig, with_grad_mag: bool = False):
     return one_step
 
 
+# Flat capacities above this many rows split the step into two device
+# programs (binning | kernels+adam) so the binner's sort/stitch temporaries
+# and the kernels' M-row buffers never coexist in one XLA allocation plan
+# (a combined 15M-row step OOM'd a 16 GB chip whose phases each fit).
+SPLIT_STEP_ROWS = 6 * 1024 * 1024
+
+
+def _needs_split(cfg: SplatConfig) -> bool:
+    from gs2d_tpu.ops import render_pallas_flat as rpf
+
+    return rpf.use_flat(cfg) and (cfg.flat_capacity or 0) > SPLIT_STEP_ROWS
+
+
+@functools.lru_cache(maxsize=32)
+def _make_split_step_fused(cfg: SplatConfig, with_grad_mag: bool):
+    from gs2d_tpu.ops import render_pallas_flat as rpf
+    from gs2d_tpu.ops import tiles_flat as tlf
+
+    bin_fn = jax.jit(lambda p: tlf.bin_splats_flat(
+        p, cfg, cfg.flat_capacity, kc=cfg.flat_chunk,
+        max_chunks=cfg.flat_max_chunks))
+
+    @jax.jit
+    def tail(state: TrainState, binning, ref_chw):
+        color, grads = rpf.l2_render_and_grads_flat(
+            binning, ref_chw, cfg.n_splats, cfg, cfg.flat_chunk,
+            cfg.flat_max_chunks)
+        gmag = jnp.linalg.norm(grads.pos, axis=-1) if with_grad_mag else 0
+        params, opt = adam_update(state.params, grads, state.opt, cfg)
+        finite = jnp.all(jnp.array(
+            [jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree.leaves(params)]))
+        ref_crop = jnp.transpose(
+            ref_chw[0], (1, 2, 0))[: cfg.height, : cfg.width]
+        mse = mse_255(color, ref_crop)
+        return TrainState(params=params, opt=opt), StepAux(
+            mse=mse, psnr=psnr_from_mse(mse), all_finite=finite,
+            n_dropped=binning.n_dropped, pos_grad_mag=gmag)
+
+    def step(state: TrainState, ref_chw: jax.Array):
+        return tail(state, bin_fn(state.params), ref_chw)
+
+    return step
+
+
 @functools.lru_cache(maxsize=32)
 def make_train_step_fused(cfg: SplatConfig, with_grad_mag: bool = False):
     """Production single-device train step: fused Pallas L2 kernel (memoized
@@ -351,7 +402,12 @@ def make_train_step_fused(cfg: SplatConfig, with_grad_mag: bool = False):
     ``render_pallas.pad_ref_chw`` (pass the padded (1,3,Hp,Wp) array).
     Semantically identical (bitwise on the forward) to the modular
     custom-VJP path; specialized to the reference's L2 objective.
+
+    Very large flat workloads run as two chained device programs (see
+    SPLIT_STEP_ROWS); at those step times dispatch overhead is noise.
     """
+    if _needs_split(cfg):
+        return _make_split_step_fused(cfg, with_grad_mag)
     return jax.jit(_fused_step_body(cfg, with_grad_mag))
 
 

@@ -154,6 +154,37 @@ class TestFlatKernels:
                 np.asarray(getattr(s_d.params, f)),
                 rtol=1e-4, atol=2e-3, err_msg=f)
 
+    def test_split_step_matches_combined(self, rng, monkeypatch):
+        """The two-program (bin | kernels+adam) step for huge flat
+        capacities == the single-program step."""
+        import gs2d_tpu.train.loop as loop
+        from gs2d_tpu.io.image import synthetic_target
+        from gs2d_tpu.train.loop import init_train_state
+
+        base = SplatConfig(width=W, height=H, n_splats=64)
+        cfg_f = rpf.tune_flat_config(
+            init_train_state(base).params,
+            base.replace(binning="flat", flat_chunk=KC))
+        ref = synthetic_target(H, W)
+        refc = rp.pad_ref_chw(jnp.asarray(ref), cfg_f)
+        state = init_train_state(cfg_f)
+
+        loop.make_train_step_fused.cache_clear()
+        loop._make_split_step_fused.cache_clear()
+        s_one, aux_one = loop.make_train_step_fused(cfg_f)(state, refc)
+
+        monkeypatch.setattr(loop, "SPLIT_STEP_ROWS", 0)
+        loop.make_train_step_fused.cache_clear()
+        s_two, aux_two = loop.make_train_step_fused(cfg_f)(state, refc)
+        loop.make_train_step_fused.cache_clear()
+
+        assert np.isclose(float(aux_two.mse), float(aux_one.mse), rtol=1e-6)
+        for f in ("pos", "sx", "sy", "rot", "color", "opacity"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(s_two.params, f)),
+                np.asarray(getattr(s_one.params, f)),
+                rtol=1e-6, atol=1e-6, err_msg=f)
+
     def test_banded_matches_full(self, rng):
         """Two bands rendered/differentiated separately == the full image
         (the 4K band-streaming building block)."""
