@@ -85,6 +85,12 @@ class SplatConfig:
     flat_chunk: int = 256
     flat_capacity: Optional[int] = None
     flat_max_chunks: Optional[int] = None
+    # Round the tile grid's row count up to a multiple of this. Tile-axis
+    # sharding needs every device band to be whole tile rows, so
+    # fit_sharded sets it to the tile-axis size when the image's natural
+    # grid doesn't divide. Extra rows are ordinary padding: outside-image
+    # pixels never composite, so results are identical.
+    tile_rows_multiple: int = 1
 
     @property
     def image_shape(self) -> Tuple[int, int]:
@@ -96,7 +102,9 @@ class SplatConfig:
 
     @property
     def n_tiles_y(self) -> int:
-        return -(-self.height // self.tile_h)
+        base = -(-self.height // self.tile_h)
+        m = self.tile_rows_multiple
+        return -(-base // m) * m
 
     @property
     def n_tiles_x(self) -> int:

@@ -57,11 +57,15 @@ def use_flat(cfg: SplatConfig) -> bool:
 
 
 def tune_flat_config(p: GaussianParams, cfg: SplatConfig,
-                     margin: float = 1.5) -> SplatConfig:
-    """Fill cfg.flat_capacity / flat_max_chunks from measured tile counts."""
+                     margin: float = 1.5, n_bands: int = 1) -> SplatConfig:
+    """Fill cfg.flat_capacity / flat_max_chunks from measured tile counts.
+
+    ``n_bands`` sizes for per-device banded binning under tile-axis
+    sharding (see tiles_flat.tune_flat_capacity)."""
     from gs2d_tpu.ops.tiles_flat import tune_flat_capacity
 
-    m, mc = tune_flat_capacity(p, cfg, kc=cfg.flat_chunk, margin=margin)
+    m, mc = tune_flat_capacity(p, cfg, kc=cfg.flat_chunk, margin=margin,
+                               n_bands=n_bands)
     return cfg.replace(flat_capacity=m, flat_max_chunks=mc)
 
 

@@ -63,17 +63,30 @@ def tune_flat_capacity(
     cfg: SplatConfig,
     kc: int = 256,
     margin: float = 1.5,
+    n_bands: int = 1,
 ) -> tuple[int, int]:
     """Measure tile counts and pick (M rows, max chunks per tile).
 
     Returns static sizes with headroom: the flat capacity M (multiple of kc)
     and the per-tile chunk-count cap. Counts drift during fitting; overflow
     trips TileBinning.n_dropped and the caller re-tunes.
+
+    ``n_bands > 1`` sizes for banded binning under tile-axis sharding: each
+    band of ``n_tiles_y / n_bands`` tile rows is binned separately per
+    device, so the (SPMD-uniform) capacity is the max over bands.
     """
     counts = jax.jit(
         lambda q: tl.bin_splats(q, cfg, 1, counts_only=True))(p)
     counts = jax.device_get(counts)
-    m = max(kc, int(flat_capacity(counts, kc) * margin))
+    if n_bands > 1:
+        if cfg.n_tiles_y % n_bands:
+            raise ValueError(
+                f"{cfg.n_tiles_y} tile rows not divisible by {n_bands} bands")
+        per_band = counts.reshape(n_bands, -1)
+        need = max(flat_capacity(b, kc) for b in per_band)
+    else:
+        need = flat_capacity(counts, kc)
+    m = max(kc, int(need * margin))
     m = -(-m // kc) * kc
     max_chunks = max(1, -(-int(counts.max() * margin) // kc))
     return m, max_chunks

@@ -177,25 +177,54 @@ def _pallas_band_step(params, ref_band, cfg_shard, n_splat, monoid,
     (fwd+cotangent+bwd in one pallas_call); with splat shards the ordered
     (C, T) monoid combine must run between forward and backward, so the
     split kernels are used.
+
+    Binning layout follows ``cfg.binning``: dense (n_tiles, K) lists, or
+    the flat block-aligned layout (ops/tiles_flat.py) for large local
+    populations -- each device flat-bins its own band (capacity sized per
+    band via ``tune_flat_config(n_bands=...)``).
     """
     from gs2d_tpu.ops import render_pallas as rp
+    from gs2d_tpu.ops import render_pallas_flat as rpf
     from gs2d_tpu.ops import tiles as tlmod
+    from gs2d_tpu.ops import tiles_flat as tlf
 
     cfg = cfg_shard
-    k = max_k or rp._max_per_tile(cfg)
+    flat = rpf.use_flat(cfg)
     gx = cfg.n_tiles_x
     th = cfg.tile_h
     n_local = params.pos.shape[0]
     band_r0 = jax.lax.axis_index(TILE_AXIS) * band_tile_rows
-    binning = tlmod.bin_splats(params, cfg, k, band_row0=band_r0,
-                               band_rows=band_tile_rows)
+    if flat:
+        binning = tlf.bin_splats_flat(
+            params, cfg, cfg.flat_capacity, kc=cfg.flat_chunk,
+            max_chunks=cfg.flat_max_chunks,
+            band_row0=band_r0, band_rows=band_tile_rows)
+    else:
+        k = max_k or rp._max_per_tile(cfg)
+        binning = tlmod.bin_splats(params, cfg, k, band_row0=band_r0,
+                                   band_rows=band_tile_rows)
     rows_per = band_tile_rows // overlap_chunks
+    n_band_tiles = band_tile_rows * gx
 
     def sub_binning(sub):
-        sl = slice(sub * rows_per * gx, (sub + 1) * rows_per * gx)
+        t0, t1 = sub * rows_per * gx, (sub + 1) * rows_per * gx
+        if flat:
+            # A sub-band owns the contiguous flat rows [start[t0],
+            # row_hi); rows outside it belong to blocks this sub-call's
+            # grid never writes (garbage in the grads output), so mask
+            # their ids out of the scatter.
+            row_lo = binning.start[t0]
+            row_hi = binning.start[t1] if t1 < n_band_tiles \
+                else jnp.int32(cfg.flat_capacity)
+            j = jnp.arange(cfg.flat_capacity, dtype=jnp.int32)
+            in_sub = (j >= row_lo) & (j < row_hi)
+            return tlf.FlatBinning(
+                ids=jnp.where(in_sub, binning.ids, jnp.int32(-1)),
+                rows=binning.rows, start=binning.start[t0:t1],
+                count=binning.count[t0:t1], n_dropped=binning.n_dropped)
         return tlmod.TileBinning(
-            ids=binning.ids[sl], tile_params=binning.tile_params[sl],
-            count=binning.count[sl], n_dropped=binning.n_dropped)
+            ids=binning.ids[t0:t1], tile_params=binning.tile_params[t0:t1],
+            count=binning.count[t0:t1], n_dropped=binning.n_dropped)
 
     def sub_px(sub):
         return slice(sub * rows_per * th, (sub + 1) * rows_per * th)
@@ -206,9 +235,15 @@ def _pallas_band_step(params, ref_band, cfg_shard, n_splat, monoid,
         for sub in range(overlap_chunks):
             px = sub_px(sub)
             ref_chw = jnp.transpose(ref_band[px], (2, 0, 1))[None]
-            C_sub, g_sub = rp.l2_render_and_grads(
-                sub_binning(sub), ref_chw, n_local, cfg,
-                band_row0=band_r0 + sub * rows_per, band_rows=rows_per)
+            if flat:
+                C_sub, g_sub = rpf.l2_render_and_grads_flat(
+                    sub_binning(sub), ref_chw, n_local, cfg,
+                    cfg.flat_chunk, cfg.flat_max_chunks,
+                    band_row0=band_r0 + sub * rows_per, band_rows=rows_per)
+            else:
+                C_sub, g_sub = rp.l2_render_and_grads(
+                    sub_binning(sub), ref_chw, n_local, cfg,
+                    band_row0=band_r0 + sub * rows_per, band_rows=rows_per)
             g_sub = jax.lax.psum(g_sub, TILE_AXIS)
             grads = g_sub if grads is None else jax.tree.map(
                 jnp.add, grads, g_sub)
@@ -218,17 +253,29 @@ def _pallas_band_step(params, ref_band, cfg_shard, n_splat, monoid,
 
     # Splat-sharded: forward the whole band, ordered-combine, then the
     # chunked backward replay with the incoming (C, T) prefix.
-    C_loc, T_loc = rp.forward_tiled(binning, cfg, band_row0=band_r0,
-                                    band_rows=band_tile_rows, crop=False)
+    if flat:
+        C_loc, T_loc = rpf.forward_flat(
+            binning, cfg, cfg.flat_chunk, cfg.flat_max_chunks,
+            band_row0=band_r0, band_rows=band_tile_rows)
+    else:
+        C_loc, T_loc = rp.forward_tiled(binning, cfg, band_row0=band_r0,
+                                        band_rows=band_tile_rows, crop=False)
     fin, _, C_in, T_in = monoid(C_loc, T_loc, SPLAT_AXIS)
     gC = fin - ref_band
     grads = None
     for sub in range(overlap_chunks):
         px = sub_px(sub)
-        g_sub = rp.backward_tiled(
-            sub_binning(sub), fin[px], gC[px], n_local, cfg,
-            carry_in=(C_in[px], T_in[px]),
-            band_row0=band_r0 + sub * rows_per, band_rows=rows_per)
+        if flat:
+            g_sub = rpf.backward_flat(
+                sub_binning(sub), fin[px], gC[px], n_local, cfg,
+                cfg.flat_chunk, cfg.flat_max_chunks,
+                carry_in=(C_in[px], T_in[px]),
+                band_row0=band_r0 + sub * rows_per, band_rows=rows_per)
+        else:
+            g_sub = rp.backward_tiled(
+                sub_binning(sub), fin[px], gC[px], n_local, cfg,
+                carry_in=(C_in[px], T_in[px]),
+                band_row0=band_r0 + sub * rows_per, band_rows=rows_per)
         g_sub = jax.lax.psum(g_sub, TILE_AXIS)
         grads = g_sub if grads is None else jax.tree.map(
             jnp.add, grads, g_sub)
@@ -264,6 +311,14 @@ def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
         raise ValueError(f"unknown combine {combine!r}")
     if renderer not in ("scan", "pallas"):
         raise ValueError(f"unknown renderer {renderer!r}")
+    if renderer == "pallas":
+        from gs2d_tpu.ops import render_pallas_flat as rpf
+
+        if rpf.use_flat(cfg) and (cfg.flat_capacity is None
+                                  or cfg.flat_max_chunks is None):
+            raise ValueError(
+                "flat binning statics unset; call tune_flat_config(params, "
+                "cfg, n_bands=<tile axis size>) before building the step")
     monoid = _ordered_monoid_fold if combine == "fold" else _ordered_monoid_scan
     n_tile = mesh.shape[TILE_AXIS]
     n_splat = mesh.shape[SPLAT_AXIS]
@@ -401,10 +456,27 @@ def fit_sharded(
     on-device accumulated |dL/d pos| signal (StepAux.pos_grad_mag); the
     densify op itself runs jitted on the sharded state (GSPMD inserts the
     collectives its argsort needs)."""
+    n_tile = mesh.shape[TILE_AXIS]
+    if renderer == "pallas" and cfg.n_tiles_y % n_tile:
+        # Round the tile grid so each device's band is whole tile rows
+        # (extra rows are pure padding; results are identical).
+        cfg = cfg.replace(tile_rows_multiple=n_tile)
     refs = pad_ref_batch(jnp.asarray(refs), cfg)
     batch = refs.shape[0]
     if state is None:
         state = init_batched_state(cfg, batch)
+    if renderer == "pallas":
+        from gs2d_tpu.ops import render_pallas_flat as rpf
+
+        if rpf.use_flat(cfg) and (cfg.flat_capacity is None
+                                  or cfg.flat_max_chunks is None):
+            # Size the per-device band capacity from image 0's population
+            # (the deterministic init; uniform static across shards). Each
+            # shard bins a slice of the splats, so the full-population
+            # per-band measurement is a safe upper bound.
+            p0 = jax.tree.map(lambda x: x[0], state.params)
+            cfg = rpf.tune_flat_config(p0, cfg,
+                                       n_bands=mesh.shape[TILE_AXIS])
     step, shardings = make_sharded_train_step(cfg, mesh, combine=combine,
                                               renderer=renderer,
                                               overlap_chunks=overlap_chunks)

@@ -179,6 +179,65 @@ class TestShardedPallasRenderer:
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=1e-4, atol=2e-3)
 
+    @pytest.mark.parametrize("axes", [
+        {"splat": 2}, {"tile": 2}, {"tile": 2, "splat": 2},
+    ], ids=lambda a: "x".join(f"{k}{v}" for k, v in a.items()))
+    def test_flat_binning_matches_scan(self, axes):
+        """Sharded pallas with the FLAT block-aligned binning == the scan
+        path on the same mesh (each device flat-bins its own band; with
+        splat shards the monoid combine sits between forward_flat and
+        backward_flat)."""
+        from gs2d_tpu.ops import render_pallas_flat as rpf
+
+        cfg = cfg_for(32, min_throughput=0.0, binning="flat", flat_chunk=64)
+        cfg_flat = rpf.tune_flat_config(
+            init_params(cfg), cfg, n_bands=axes.get("tile", 1))
+        ref = jnp.asarray(synthetic_target(H, W))
+        mesh = make_mesh(**axes)
+        refs = pad_ref_batch(ref[None], cfg_flat)
+        out = {}
+        for renderer in ("scan", "pallas"):
+            step, sh = make_sharded_train_step(cfg_flat, mesh,
+                                               renderer=renderer)
+            state = jax.device_put(init_batched_state(cfg_flat, 1),
+                                   sh["state"])
+            r = jax.device_put(refs, sh["ref"])
+            new_state, aux = step(state, r)
+            out[renderer] = (new_state, float(aux.mse[0]))
+        assert np.isclose(out["scan"][1], out["pallas"][1], rtol=1e-5)
+        for x, y in zip(jax.tree.leaves(out["scan"][0].params),
+                        jax.tree.leaves(out["pallas"][0].params)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-4, atol=2e-3)
+
+    @pytest.mark.parametrize("axes", [{"tile": 2}, {"tile": 2, "splat": 2}])
+    def test_flat_overlap_chunks_equivalent(self, axes):
+        """Chunked backward + per-chunk grad psum under the flat layout ==
+        the single-psum form (sub-band id masking drops garbage blocks)."""
+        from gs2d_tpu.ops import render_pallas_flat as rpf
+
+        cfg = cfg_for(32, min_throughput=0.0, binning="flat", flat_chunk=64)
+        cfg_flat = rpf.tune_flat_config(
+            init_params(cfg), cfg, n_bands=axes["tile"])
+        ref = jnp.asarray(synthetic_target(H, W))
+        mesh = make_mesh(**axes)
+        refs = pad_ref_batch(ref[None], cfg_flat)
+        out = {}
+        for oc in (1, 2):  # band is 2 tile rows on this mesh
+            step, sh = make_sharded_train_step(cfg_flat, mesh,
+                                               renderer="pallas",
+                                               overlap_chunks=oc)
+            state = jax.device_put(init_batched_state(cfg_flat, 1),
+                                   sh["state"])
+            r = jax.device_put(refs, sh["ref"])
+            new_state, aux = step(state, r)
+            out[oc] = (new_state, float(aux.mse[0]))
+        assert np.isclose(out[1][1], out[2][1], rtol=1e-6)
+        for x, y in zip(jax.tree.leaves(out[1][0].params),
+                        jax.tree.leaves(out[2][0].params)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5, atol=1e-4)
+
     @pytest.mark.parametrize("axes", [{"tile": 2}, {"tile": 2, "splat": 2}])
     def test_overlap_chunks_equivalent(self, axes):
         """Chunked backward + per-chunk grad psum (the overlapped all-reduce
