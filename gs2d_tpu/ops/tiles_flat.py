@@ -24,8 +24,12 @@ Cost: O(total pairs + n_tiles*kc/2) rows end to end -- proportional to the
 work that actually exists. Order contract: runs are in ascending splat index
 (compositing order, Form.pdf p2), exactly like the dense binner.
 
-The duplication/sort front end is shared with ops/tiles.py (same conservative
-bbox, same segmented int32-key sort); only the run extraction differs.
+Construction is an exact-count expansion (each splat owns exactly w*h rows,
+no per-splat slot cap, so coverage is never bbox-truncated) followed by ONE
+stable sort keyed on the tile id alone: expansion rows are already in splat
+order, so stability gives the (tile, splat) lexicographic order without
+packing composite sort keys (which overflowed int32 at 4K tile counts and
+forced the old segmented multi-sort + per-segment stitch gathers).
 """
 
 from __future__ import annotations
@@ -116,12 +120,16 @@ def bin_splats_flat(
         band_rows = cfg.n_tiles_y
         band_row0 = 0
     n_tiles = band_rows * cfg.n_tiles_x
-    if max_tiles_per_splat is None:
-        max_tiles_per_splat = cfg.max_tiles_per_splat
     if max_chunks is None:
         max_chunks = m_cap // kc
+    del max_tiles_per_splat  # exact expansion: no per-splat tile cap at all
 
-    # --- shared duplication + segmented sort front end (see tiles.py) -----
+    # --- exact-count pair expansion ---------------------------------------
+    # Each splat owns a run of exactly w*h rows in the expansion array (no
+    # per-splat slot cap, so large splats are never bbox-truncated). All
+    # per-splat values are broadcast onto the E rows with a scatter of
+    # run-start deltas + prefix sum -- NOT E-wide gathers: the TPU gather
+    # unit pays per row, and each avoided gather costs more than a cumsum.
     tx0, tx1, ty0, ty1, offscreen = tl.splat_tile_bbox(p, cfg)
     band_row0 = jnp.asarray(band_row0, jnp.int32)
     offscreen = offscreen | (ty1 < band_row0) \
@@ -130,54 +138,44 @@ def bin_splats_flat(
     ty1 = jnp.clip(ty1 - band_row0, 0, band_rows - 1)
     w_t = tx1 - tx0 + 1
     h_t = ty1 - ty0 + 1
-    count_full = jnp.where(offscreen, 0, w_t * h_t)
-    cnt = jnp.minimum(count_full, max_tiles_per_splat)
-    dropped_bbox = jnp.sum(count_full - cnt)
+    cnt = jnp.where(offscreen, 0, w_t * h_t)
+    starts = jnp.cumsum(cnt) - cnt                  # exclusive, (n,)
+    total = starts[-1] + cnt[-1]
+    e_cap = m_cap                                   # expansion capacity
+    dropped_exp = jnp.maximum(total - e_cap, 0)
 
-    slot = jnp.arange(max_tiles_per_splat, dtype=jnp.int32)
-    local_y = slot[None, :] // jnp.maximum(w_t, 1)[:, None]
-    local_x = slot[None, :] % jnp.maximum(w_t, 1)[:, None]
-    tile_id = ((ty0[:, None] + local_y) * cfg.n_tiles_x
-               + tx0[:, None] + local_x).astype(jnp.int32)
-    live = slot[None, :] < cnt[:, None]
+    def splat_broadcast(vals):
+        """vals[owner(e)] for each expansion row e (deltas + cumsum)."""
+        vals = vals.astype(jnp.int32)
+        out = jnp.zeros((e_cap,), jnp.int32).at[starts[1:]].add(
+            vals[1:] - vals[:-1], mode="drop")      # starts >= e_cap drop
+        out = out.at[0].add(vals[0])
+        return jnp.cumsum(out)
 
-    tile_bits = max(int(n_tiles).bit_length(), 1)
-    splat_bits = max((n - 1).bit_length(), 1)
-    seg_bits = min(splat_bits, 30 - tile_bits)
-    if seg_bits <= 0:
-        raise ValueError(f"too many tiles for int32 keys: {n_tiles}")
-    n_segments = -(-n // (1 << seg_bits))
-    nseg = -(-n // n_segments)
+    e = jnp.arange(e_cap, dtype=jnp.int32)
+    live_e = e < total
+    rank = e - splat_broadcast(starts)
+    wb = jnp.maximum(splat_broadcast(w_t), 1)
+    ly = rank // wb
+    lx = rank - ly * wb
+    tile_e = ((splat_broadcast(ty0) + ly) * cfg.n_tiles_x
+              + splat_broadcast(tx0) + lx)
+    tile_e = jnp.where(live_e, tile_e, jnp.int32(n_tiles))  # dead rows last
+    splat_e = splat_broadcast(jnp.arange(n, dtype=jnp.int32))
 
-    splat_ids = jnp.arange(n, dtype=jnp.int32)[:, None] * jnp.ones_like(slot)[None, :]
-    local_bits = max((nseg - 1).bit_length(), 1)
-    shift = jnp.int32(1 << local_bits)
-    pad_key = jnp.int32(jnp.iinfo(jnp.int32).max)
-    key = tile_id * shift + (splat_ids % jnp.int32(nseg))
-    key = jnp.where(live, key, pad_key)
-
-    pad_rows_n = n_segments * nseg - n
-    if pad_rows_n:
-        key = jnp.concatenate(
-            [key, jnp.full((pad_rows_n, max_tiles_per_splat), pad_key)],
-            axis=0)
-    key = key.reshape(n_segments, nseg * max_tiles_per_splat)
-    sorted_key = jax.lax.sort(key, dimension=-1)
-
-    mask_live = sorted_key != pad_key
-    seg_tile = jnp.where(mask_live, sorted_key >> local_bits,
-                         jnp.int32(0x7FFFFFFF))
-    seg_local = jnp.where(mask_live, sorted_key & (shift - 1), jnp.int32(-1))
+    # --- one stable sort by tile id ---------------------------------------
+    # Expansion rows are in ascending splat order, so a stable sort on the
+    # (small-int) tile key alone yields (tile, splat)-lexicographic order:
+    # exactly the compositing order the kernels need (Form.pdf p2).
+    sorted_tile, sorted_id = jax.lax.sort(
+        (tile_e, splat_e), num_keys=1, is_stable=True)
 
     tiles_iota = jnp.arange(n_tiles, dtype=jnp.int32)
-    seg_starts = jax.vmap(
-        lambda row: jnp.searchsorted(row, tiles_iota, side="left"))(
-            seg_tile).astype(jnp.int32)
-    seg_ends = jax.vmap(
-        lambda row: jnp.searchsorted(row, tiles_iota, side="right"))(
-            seg_tile).astype(jnp.int32)
-    seg_counts = seg_ends - seg_starts              # (S, n_tiles)
-    count_all = jnp.sum(seg_counts, axis=0)         # (n_tiles,)
+    run_start = jnp.searchsorted(sorted_tile, tiles_iota,
+                                 side="left").astype(jnp.int32)
+    run_end = jnp.searchsorted(sorted_tile, tiles_iota,
+                               side="right").astype(jnp.int32)
+    count_all = run_end - run_start                 # (n_tiles,)
 
     # --- block-aligned flat run layout -------------------------------------
     count = jnp.minimum(count_all, max_chunks * kc)
@@ -192,33 +190,26 @@ def bin_splats_flat(
     count = jnp.where(fits, count, 0)
     start = jnp.minimum(start_raw, m_cap)
 
-    # --- stitch segment runs into the flat array (one gather) -------------
-    # For each output row j: the within-run rank is r = j - start[tile_of_j],
-    # and rank r falls in segment s where base[s] <= r < base[s] +
-    # seg_counts[s] (segments concatenate in index order, preserving the
-    # compositing order across segments). Per-tile values are broadcast onto
-    # the M rows with a scatter of run-boundary deltas + prefix sum -- NOT
-    # an M-wide gather from the per-tile tables: the TPU gather unit pays
-    # per row, and each avoided M-gather costs more than the whole cumsum.
-    def run_broadcast(vals):
+    # --- scatter sorted rows to their block-aligned flat positions --------
+    # Sorted row p of tile t lands at start[t] + (p - run_start[t]); the
+    # per-tile offset (start[t] - run_start[t]) and the rank cap count[t]
+    # are broadcast onto the E rows with the same deltas+cumsum trick
+    # (scatter positions run_start[t]; coincident starts of empty tiles
+    # telescope correctly).
+    def tile_broadcast(vals):
         vals = vals.astype(jnp.int32)
-        out = jnp.zeros((m_cap,), jnp.int32).at[start[1:]].add(
-            vals[1:] - vals[:-1], mode="drop")  # start==m_cap rows drop
+        out = jnp.zeros((e_cap,), jnp.int32).at[run_start[1:]].add(
+            vals[1:] - vals[:-1], mode="drop")
         out = out.at[0].add(vals[0])
         return jnp.cumsum(out)
 
-    j = jnp.arange(m_cap, dtype=jnp.int32)
-    r = j - run_broadcast(start)
-    r_ok = (r >= 0) & (r < run_broadcast(count))
-
-    base = jnp.cumsum(seg_counts, axis=0) - seg_counts  # (S, n_tiles) excl
-    ids = jnp.full((m_cap,), jnp.int32(-1))
-    for s in range(n_segments):
-        rs = r - run_broadcast(base[s])
-        in_seg = r_ok & (rs >= 0) & (rs < run_broadcast(seg_counts[s]))
-        src = jnp.where(in_seg, run_broadcast(seg_starts[s]) + rs, 0)
-        got = seg_local[s][src] + jnp.int32(s * nseg)
-        ids = jnp.where(in_seg, got, ids)
+    p_iota = jnp.arange(e_cap, dtype=jnp.int32)
+    rank_t = p_iota - tile_broadcast(run_start)
+    valid = (sorted_tile < n_tiles) & (rank_t < tile_broadcast(count))
+    dest = jnp.where(valid, tile_broadcast(start) + rank_t, m_cap)
+    ids = jnp.full((m_cap,), jnp.int32(-1)).at[dest].set(
+        sorted_id, mode="drop")
+    dropped_bbox = jnp.int32(0)  # exact expansion: bbox never truncated
 
     # --- pregather packed params on the flat rows --------------------------
     fields_rows = jnp.transpose(tl.packed_fields(p, cfg.splat_bounds))
@@ -233,6 +224,6 @@ def bin_splats_flat(
     return FlatBinning(
         ids=ids, rows=rows, start=start.astype(jnp.int32),
         count=count.astype(jnp.int32),
-        n_dropped=(dropped_bbox + dropped_chunks + dropped_cap).astype(
-            jnp.int32),
+        n_dropped=(dropped_bbox + dropped_exp + dropped_chunks
+                   + dropped_cap).astype(jnp.int32),
     )

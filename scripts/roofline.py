@@ -37,26 +37,40 @@ def sync(x):
 
 
 def measure_hbm_bw():
-    """GB/s of a big elementwise pass (read + write)."""
+    """GB/s of a big elementwise pass (read + write).
+
+    The passes iterate in an on-device ``lax.scan`` (one dispatch): a host
+    loop of per-call dispatches bottoms out at the tunnel's ~1.8 ms/iter
+    pipeline floor and under-reports bandwidth ~2x.
+    """
     import jax
     import jax.numpy as jnp
 
     n = 256 * 1024 * 1024 // 4  # 256 MB f32
+    k = 32
     x = jnp.zeros((n,), jnp.float32)
-    f = jax.jit(lambda a: a + jnp.float32(1.0))
-    y = f(x)
+
+    @jax.jit
+    def loop(a):
+        return jax.lax.scan(
+            lambda c, _: (c + jnp.float32(1.0), jnp.float32(0)),
+            a, None, length=k)[0]
+
+    y = loop(x)
     sync(y)
-    iters = 20
     t0 = time.perf_counter()
-    for _ in range(iters):
-        y = f(y)
+    y = loop(y)
     sync(y)
-    dt = (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / k
     return 2 * n * 4 / dt / 1e9
 
 
 def measure_vpu_fma():
-    """Measured f32 FMA/s ceiling with an ILP-heavy Pallas kernel."""
+    """Measured f32 FMA/s ceiling with an ILP-heavy Pallas kernel.
+
+    Each accumulator chain is serial (FMA latency-bound), so the chain
+    count sets the ILP; sweep it and take the best rate as the ceiling.
+    """
     import functools
 
     import jax
@@ -64,38 +78,44 @@ def measure_vpu_fma():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    LANES = 8  # independent accumulator registers (ILP)
     INNER = 256
     GRID = 4096
 
-    def kernel(out_ref):
-        accs = [jnp.full((8, 128), jnp.float32(1.0 + i)) for i in range(LANES)]
-        c = jnp.float32(1.0000001)
+    def make(lanes):
+        def kernel(out_ref):
+            accs = [jnp.full((8, 128), jnp.float32(1.0 + i))
+                    for i in range(lanes)]
+            c = jnp.float32(1.0000001)
 
-        def body(_, accs):
-            return tuple(a * c + jnp.float32(1e-9) for a in accs)
+            def body(_, accs):
+                return tuple(a * c + jnp.float32(1e-9) for a in accs)
 
-        accs = jax.lax.fori_loop(0, INNER, body, tuple(accs))
-        out_ref[...] = sum(accs)
+            accs = jax.lax.fori_loop(0, INNER, body, tuple(accs))
+            out_ref[...] = sum(accs)
 
-    out = pl.pallas_call(
-        kernel,
-        grid=(GRID,),
-        out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
-    )
-    f = jax.jit(out)
-    y = f()
-    sync(y)
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
+        return jax.jit(pl.pallas_call(
+            kernel,
+            grid=(GRID,),
+            out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        ))
+
+    best = 0.0
+    for lanes in (8, 16, 32):
+        f = make(lanes)
         y = f()
-    sync(y)
-    dt = (time.perf_counter() - t0) / iters
-    fmas = GRID * INNER * LANES * 8 * 128
-    return fmas / dt
+        sync(y)
+        iters = 5
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            y = f()
+        sync(y)
+        dt = (time.perf_counter() - t0) / iters
+        rate = GRID * INNER * lanes * 8 * 128 / dt
+        print(f"  vpu chains={lanes}: {rate/1e12:.3f} TFMA/s", flush=True)
+        best = max(best, rate)
+    return best
 
 
 FWD_OPS = 40   # vector ops per pair-step, hand-counted (docstring)
