@@ -260,6 +260,99 @@ def _bwd_splat_step(params_ref, k, fx, fy, xx, yy, inside, cfg,
     return (cr_acc, cg_acc, cb_acc, T), col
 
 
+def _fwd_chunked_kernel(off_ref, count_ref, params_ref, color_ref, trans_ref,
+                        *, cfg: SplatConfig, kc: int):
+    """Chunked modular forward. Grid (tiles, chunks); the composite carry
+    (color, T) lives in the output blocks, which consecutive chunk steps of
+    the same tile revisit, so SMEM stays O(chunk) for any list length.
+    Chunk-level saturation exit as in _l2_chunked_kernel."""
+    yy, xx, fy, fx, inside = _tile_coords_grid(cfg, pl.program_id(0),
+                                               off_ref[0])
+    th, tw = cfg.tile_h, cfg.tile_w
+    chunk = pl.program_id(1)
+    n_here = jnp.clip(count_ref[pl.program_id(0)] - chunk * kc, 0, kc)
+    u = _unrolled(kc)
+    zero = jnp.zeros((th, tw), jnp.float32)
+
+    @pl.when(chunk == 0)
+    def _():
+        color_ref[0, 0] = zero
+        color_ref[0, 1] = zero
+        color_ref[0, 2] = zero
+        trans_ref[0] = jnp.ones((th, tw), jnp.float32)
+
+    @pl.when(jnp.max(trans_ref[0]) >= jnp.float32(cfg.min_throughput))
+    def _():
+        def body(c, carry):
+            for i in range(u):
+                carry = _fwd_one(params_ref, c * u + i, fx, fy, xx, yy,
+                                 inside, cfg, carry)
+            return carry
+
+        carry = (color_ref[0, 0], color_ref[0, 1], color_ref[0, 2],
+                 trans_ref[0])
+        cr, cg, cb, T = jax.lax.fori_loop(
+            0, (n_here + u - 1) // u, body, carry)
+        color_ref[0, 0] = cr
+        color_ref[0, 1] = cg
+        color_ref[0, 2] = cb
+        trans_ref[0] = T
+
+
+def _bwd_chunked_kernel(off_ref, count_ref, params_ref, fin_ref, gc_ref,
+                        c_in_ref, t_in_ref, grads_ref, c1_ref, t1_ref,
+                        *, cfg: SplatConfig, kc: int):
+    """Chunked modular backward. Grid (tiles, chunks); the replay prefix
+    (C1, T1) lives in revisited output blocks, seeded from the carry-in
+    blocks (the ordered-monoid prefix under splat sharding) at chunk 0.
+    Arbitrary upstream cotangent gc, unlike the fused L2 kernels."""
+    yy, xx, fy, fx, inside = _tile_coords_grid(cfg, pl.program_id(0),
+                                               off_ref[0])
+    th, tw = cfg.tile_h, cfg.tile_w
+    chunk = pl.program_id(1)
+    n_here = jnp.clip(count_ref[pl.program_id(0)] - chunk * kc, 0, kc)
+    u = _unrolled(kc)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, kc), 1)
+
+    @pl.when(chunk == 0)
+    def _():
+        c1_ref[0, 0] = c_in_ref[0, 0]
+        c1_ref[0, 1] = c_in_ref[0, 1]
+        c1_ref[0, 2] = c_in_ref[0, 2]
+        t1_ref[0] = t_in_ref[0]
+
+    # Fresh grads block every (tile, chunk) step: zero unconditionally so a
+    # saturation-skipped chunk contributes exact zeros to the scatter.
+    grads_ref[...] = jnp.zeros_like(grads_ref)
+
+    @pl.when(jnp.max(t1_ref[0]) >= jnp.float32(cfg.min_throughput))
+    def _():
+        fin_rgb = (fin_ref[0, 0], fin_ref[0, 1], fin_ref[0, 2])
+        gc_rgb = (gc_ref[0, 0], gc_ref[0, 1], gc_ref[0, 2])
+
+        def body(c, carry):
+            comp, gacc = carry
+            for i in range(u):
+                k = c * u + i
+                comp, col = _bwd_splat_step(params_ref, k, fx, fy, xx, yy,
+                                            inside, cfg, comp, fin_rgb,
+                                            gc_rgb)
+                oh = (lane == k).astype(jnp.float32)
+                gacc = gacc + col * oh
+            return comp, gacc
+
+        comp = (c1_ref[0, 0], c1_ref[0, 1], c1_ref[0, 2], t1_ref[0])
+        (cr, cg, cb, T), gacc = jax.lax.fori_loop(
+            0, (n_here + u - 1) // u, body,
+            (comp, jnp.zeros((9, kc), jnp.float32)))
+        c1_ref[0, 0] = cr
+        c1_ref[0, 1] = cg
+        c1_ref[0, 2] = cb
+        t1_ref[0] = T
+        grads_ref[0] = jnp.concatenate(
+            [gacc, jnp.zeros((N_GRAD_FIELDS - 9, kc), jnp.float32)], axis=0)
+
+
 def _should_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
@@ -282,29 +375,53 @@ def forward_tiled(
     band_hp = gy * th
     off = jnp.asarray([jnp.asarray(band_row0, jnp.int32) * th], jnp.int32)
 
-    color, trans = pl.pallas_call(
-        functools.partial(_forward_kernel, cfg=cfg),
-        grid=(gy, gx),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, k, tl.N_FIELDS), lambda i, j, gx=gx: (i * gx + j, 0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 3, th, tw), lambda i, j: (0, 0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, tw), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, 3, band_hp, cfg.padded_width),
-                                 jnp.float32),
-            jax.ShapeDtypeStruct((1, band_hp, cfg.padded_width),
-                                 jnp.float32),
-        ],
-        interpret=interpret,
-    )(off, binning.count, binning.tile_params)
+    out_shape = [
+        jax.ShapeDtypeStruct((1, 3, band_hp, cfg.padded_width), jnp.float32),
+        jax.ShapeDtypeStruct((1, band_hp, cfg.padded_width), jnp.float32),
+    ]
+    if k > 256 and k % 256 == 0:
+        # Chunked: SMEM param block and loop stay O(chunk) for any K.
+        kc = 256
+        color, trans = pl.pallas_call(
+            functools.partial(_fwd_chunked_kernel, cfg=cfg, kc=kc),
+            grid=(gy * gx, k // kc),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, kc, tl.N_FIELDS), lambda t, c: (t, c, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 3, th, tw),
+                             lambda t, c, gx=gx: (0, 0, t // gx, t % gx),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, th, tw),
+                             lambda t, c, gx=gx: (0, t // gx, t % gx),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(off, binning.count, binning.tile_params)
+    else:
+        color, trans = pl.pallas_call(
+            functools.partial(_forward_kernel, cfg=cfg),
+            grid=(gy, gx),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, k, tl.N_FIELDS),
+                             lambda i, j, gx=gx: (i * gx + j, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 3, th, tw), lambda i, j: (0, 0, i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, th, tw), lambda i, j: (0, i, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(off, binning.count, binning.tile_params)
 
     color = jnp.transpose(color[0], (1, 2, 0))
     trans = trans[0]
@@ -361,6 +478,56 @@ def backward_tiled(
         c_in = pad_chw(carry_in[0])
         t_in = jnp.ones((1, hp, wp), jnp.float32).at[
             0, : cfg.height, : cfg.width].set(carry_in[1])
+
+    if k > 256 and k % 256 == 0:
+        # Chunked: SMEM param block and one-hot accumulator stay O(chunk).
+        kc = 256
+        n_chunks = k // kc
+        partial, _, _ = pl.pallas_call(
+            functools.partial(_bwd_chunked_kernel, cfg=cfg, kc=kc),
+            grid=(n_tiles, n_chunks),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, kc, tl.N_FIELDS), lambda t, c: (t, c, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 3, th, tw),
+                             lambda t, c, gx=gx: (0, 0, t // gx, t % gx),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, th, tw),
+                             lambda t, c, gx=gx: (0, 0, t // gx, t % gx),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, th, tw),
+                             lambda t, c, gx=gx: (0, 0, t // gx, t % gx),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, th, tw),
+                             lambda t, c, gx=gx: (0, t // gx, t % gx),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, N_GRAD_FIELDS, kc),
+                             lambda t, c, n_chunks=n_chunks:
+                             (t * n_chunks + c, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, th, tw),
+                             lambda t, c, gx=gx: (0, 0, t // gx, t % gx),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, th, tw),
+                             lambda t, c, gx=gx: (0, t // gx, t % gx),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tiles * n_chunks, N_GRAD_FIELDS, kc),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((1, 3, hp, wp), jnp.float32),
+                jax.ShapeDtypeStruct((1, hp, wp), jnp.float32),
+            ],
+            interpret=interpret,
+        )(off, binning.count, binning.tile_params, fin, gc, c_in, t_in)
+        partial = partial.reshape(n_tiles, n_chunks, N_GRAD_FIELDS, kc)
+        partial = jnp.transpose(partial, (0, 2, 1, 3)).reshape(
+            n_tiles, N_GRAD_FIELDS, n_chunks * kc)
+        return _segment_grads(binning, partial, n_splats)
 
     partial = pl.pallas_call(
         functools.partial(_backward_kernel, cfg=cfg),

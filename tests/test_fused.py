@@ -162,3 +162,53 @@ class TestMxuVariant:
             a, c = np.asarray(getattr(g1, f)), np.asarray(getattr(g, f))
             atol = 2e-3 * max(1.0, np.abs(a).max())
             np.testing.assert_allclose(c, a, atol=atol, err_msg=f)
+
+
+class TestChunkedModular:
+    def test_forward_backward_chunked_matches_scan(self, rng):
+        """K > 256 routes the modular forward/backward through the chunked
+        kernels (SMEM O(chunk) for any per-tile list length); results must
+        match the scan reference exactly like the unchunked path."""
+        n = 512
+        cfg = SplatConfig(width=W, height=H, n_splats=n)
+        s = random_splats(rng, n, W, H)
+        p = to_params(s)
+        ref = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+
+        b = tl.bin_splats(p, cfg, 512)          # k=512 -> chunked dispatch
+        C, T = rp.forward_tiled(b, cfg)
+        C1, T1 = render_forward(p, cfg)
+        np.testing.assert_allclose(np.asarray(C), np.asarray(C1), atol=3e-7)
+        np.testing.assert_allclose(np.asarray(T), np.asarray(T1), atol=3e-7)
+
+        g = rp.backward_tiled(b, C, C - jnp.asarray(ref), n, cfg)
+        g1 = render_backward(p, C1, C1 - jnp.asarray(ref), cfg)
+        for f in ("pos", "sx", "sy", "rot", "color", "opacity"):
+            a, c = np.asarray(getattr(g1, f)), np.asarray(getattr(g, f))
+            atol = 1e-4 * max(1.0, np.abs(a).max())
+            np.testing.assert_allclose(c, a, atol=atol, err_msg=f)
+
+    def test_chunked_saturation(self, rng):
+        """Opaque overlapping splats saturate T mid-list; skipped chunks must
+        contribute exact zeros (fresh grads blocks) and the composite must
+        still match the scan path."""
+        n = 512
+        cfg = SplatConfig(width=W, height=H, n_splats=n)
+        s = random_splats(rng, n, W, H, opacity_range=(0.9, 1.0))
+        s.pos[:] = np.float32([W / 2, H / 2]) \
+            + rng.normal(0, 3.0, (n, 2)).astype(np.float32)
+        p = to_params(s)
+        ref = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+
+        b = tl.bin_splats(p, cfg, 512)
+        C, T = rp.forward_tiled(b, cfg)
+        C1, T1 = render_forward(p, cfg)
+        assert (np.asarray(T1) < 1.0 / 256.0).any()
+        np.testing.assert_allclose(np.asarray(C), np.asarray(C1), atol=3e-7)
+
+        g = rp.backward_tiled(b, C, C - jnp.asarray(ref), n, cfg)
+        g1 = render_backward(p, C1, C1 - jnp.asarray(ref), cfg)
+        for f in ("pos", "color", "opacity"):
+            a, c = np.asarray(getattr(g1, f)), np.asarray(getattr(g, f))
+            atol = 2e-4 * max(1.0, np.abs(a).max())
+            np.testing.assert_allclose(c, a, atol=atol, err_msg=f)
