@@ -62,6 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", default="",
                    help="data,tile,splat axis sizes for multi-device runs "
                         "(e.g. 1,2,4); empty = single device")
+    p.add_argument("--opacity-reset-every", type=int, default=0,
+                   help="cap opacities at 0.3 and zero their Adam moments "
+                        "every N iterations (3DGS floater control; needs "
+                        "--optimize-opacity and --densify-every)")
+    p.add_argument("--ssim", type=float, default=0.0, metavar="LAMBDA",
+                   help="mix lambda*(1-SSIM) into the objective (0 = pure "
+                        "L2, the reference objective); runs on the modular "
+                        "custom-VJP path")
     p.add_argument("--profile", action="store_true",
                    help="print phase timing summary at the end")
     return p
@@ -164,7 +172,8 @@ def main(argv=None) -> int:
             refj, cfg, iterations=args.iters,
             densify_every=args.densify_every, state=state,
             scan_chunk=args.scan_chunk, log_every=args.log_every,
-            log_fn=log_fn, reorder_every=args.reorder_every)
+            log_fn=log_fn, reorder_every=args.reorder_every,
+            opacity_reset_every=args.opacity_reset_every)
         for rec in hist:
             rec["iter"] += it_done[0]
             logger.log(**rec)
@@ -183,7 +192,8 @@ def main(argv=None) -> int:
             log_every=args.log_every, log_fn=log_fn,
             checkpoint_every=args.checkpoint_every,
             checkpoint_fn=on_ckpt if ck else None,
-            use_fused=use_pallas, scan_chunk=args.scan_chunk)
+            use_fused=use_pallas, scan_chunk=args.scan_chunk,
+            ssim_lambda=args.ssim)
         for rec in hist:
             rec["iter"] += it_done[0]
             logger.log(**rec)

@@ -166,6 +166,26 @@ def densify_and_prune_batched(state: TrainState, pos_grad_mag, cfg,
     )(state, pos_grad_mag)
 
 
+def opacity_reset(state: TrainState, cfg: SplatConfig,
+                  value: float = 0.3) -> TrainState:
+    """Periodic opacity reset (the 3DGS floater-control schedule).
+
+    Caps every opacity at ``value`` and zeroes the opacity Adam moments, so
+    splats must re-earn their opacity from fresh gradients; splats that
+    never do drift to the clamp floor and are culled by the next prune.
+    Lower-only (min), so parked dead slots (opacity 0) stay dead. Only
+    meaningful with cfg.optimize_opacity=True (the reference keeps opacity
+    frozen, main.cpp:317; this schedule is for the adaptive-density
+    configs, BASELINE.json configs[4]).
+    """
+    p = state.params
+    params = p.replace(opacity=jnp.minimum(p.opacity, jnp.float32(value)))
+    opt = state.opt.replace(
+        m=state.opt.m.replace(opacity=jnp.zeros_like(state.opt.m.opacity)),
+        v=state.opt.v.replace(opacity=jnp.zeros_like(state.opt.v.opacity)))
+    return TrainState(params=params, opt=opt)
+
+
 def fit_adaptive(
     ref,
     cfg: SplatConfig,
@@ -177,6 +197,8 @@ def fit_adaptive(
     log_every: int = 0,
     log_fn=print,
     reorder_every: int = 0,
+    opacity_reset_every: int = 0,
+    opacity_reset_value: float = 0.3,
 ):
     """Production adaptive-density fitting on the fused Pallas path.
 
@@ -246,6 +268,9 @@ def fit_adaptive(
         done += window
         if done < iterations:
             state = densify_and_prune(state, accum, cfg, dcfg, seed=done)
+            if opacity_reset_every and done % opacity_reset_every == 0 \
+                    and cfg.optimize_opacity:
+                state = opacity_reset(state, cfg, opacity_reset_value)
             if reorder_every and done % reorder_every == 0:
                 from gs2d_tpu.train.reorder import reorder_state
 

@@ -59,18 +59,19 @@ class StepAux(NamedTuple):
 RenderFn = Callable[[GaussianParams, SplatConfig], jax.Array]
 
 
-@functools.lru_cache(maxsize=32)
-def make_train_step(cfg: SplatConfig, render_fn: Optional[RenderFn] = None):
-    """Build a jitted train step closed over the static config.
+def _make_loss_fn(render, cfg: SplatConfig, ssim_lambda: float):
+    """L2 (reference objective) or the (1-lam)*L2 + lam*(1-SSIM) mix.
 
-    Memoized on (cfg, render_fn) so repeated fit() calls (densify blocks,
-    resume) reuse the compiled step instead of re-tracing.
+    Either way the rasterizer's analytic custom VJP supplies dC/dparams;
+    only the (autodiffed) head on top of the rendered image differs."""
+    if ssim_lambda:
+        from gs2d_tpu.train.ssim import mixed_loss
 
-    ``render_fn`` must be differentiable w.r.t. params (the default is the
-    scan renderer with the analytic custom VJP; the Pallas tile renderer plugs
-    in identically).
-    """
-    render = render_fn if render_fn is not None else render_jax.render
+        def loss_fn(params, ref):
+            color = render(params, cfg)
+            return mixed_loss(color, ref, ssim_lambda), color
+
+        return loss_fn
 
     def loss_fn(params, ref):
         color = render(params, cfg)
@@ -78,6 +79,25 @@ def make_train_step(cfg: SplatConfig, render_fn: Optional[RenderFn] = None):
         # 0.5*sum(d^2) makes the per-pixel cotangent exactly C - ref, the
         # reference's dL/dC (main.cpp:616).
         return jnp.float32(0.5) * jnp.sum(d * d), color
+
+    return loss_fn
+
+
+@functools.lru_cache(maxsize=32)
+def make_train_step(cfg: SplatConfig, render_fn: Optional[RenderFn] = None,
+                    ssim_lambda: float = 0.0):
+    """Build a jitted train step closed over the static config.
+
+    Memoized on (cfg, render_fn, ssim_lambda) so repeated fit() calls
+    (densify blocks, resume) reuse the compiled step instead of re-tracing.
+
+    ``render_fn`` must be differentiable w.r.t. params (the default is the
+    scan renderer with the analytic custom VJP; the Pallas tile renderer plugs
+    in identically). ``ssim_lambda`` > 0 switches the objective to the
+    perceptual mix (train/ssim.py).
+    """
+    render = render_fn if render_fn is not None else render_jax.render
+    loss_fn = _make_loss_fn(render, cfg, ssim_lambda)
 
     @jax.jit
     def train_step(state: TrainState, ref: jax.Array):
@@ -99,7 +119,7 @@ def make_train_step(cfg: SplatConfig, render_fn: Optional[RenderFn] = None):
 
 
 def make_fit_scan(cfg: SplatConfig, render_fn: Optional[RenderFn] = None,
-                  unroll: int = 1):
+                  unroll: int = 1, ssim_lambda: float = 0.0):
     """Build a jitted multi-iteration fitter: ``lax.scan`` over train steps.
 
     One device program executes ``n_iters`` full iterations without host
@@ -109,11 +129,7 @@ def make_fit_scan(cfg: SplatConfig, render_fn: Optional[RenderFn] = None,
     state plus per-iteration (mse, psnr, all_finite) histories.
     """
     render = render_fn if render_fn is not None else render_jax.render
-
-    def loss_fn(params, ref):
-        color = render(params, cfg)
-        d = color - ref
-        return jnp.float32(0.5) * jnp.sum(d * d), color
+    loss_fn = _make_loss_fn(render, cfg, ssim_lambda)
 
     def one_step(state: TrainState, ref):
         (_, color), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -158,6 +174,7 @@ def fit(
     use_fused: bool = False,
     sync_every: int = 32,
     scan_chunk: int = 0,
+    ssim_lambda: float = 0.0,
 ):
     """Host driver for the fitting loop (the reference's while-NextFrame loop,
     main.cpp:334-851, minus the GUI).
@@ -166,11 +183,15 @@ def fit(
     path; ignores ``render_fn``). ``scan_chunk`` > 1 runs iterations in
     on-device ``lax.scan`` blocks of that size (no host dispatch per step --
     the fastest shape on a remote TPU; logging/checkpoint granularity becomes
-    the block). Returns (state, history) where history is a list of
+    the block). ``ssim_lambda`` > 0 uses the perceptual L2+SSIM mix, which
+    runs on the modular custom-VJP path (the fused kernels hard-code the L2
+    cotangent). Returns (state, history) where history is a list of
     per-logged-step dicts.
     """
     if state is None:
         state = init_train_state(cfg)
+    if ssim_lambda:
+        use_fused = False
     if use_fused:
         from gs2d_tpu.ops import render_pallas as rp
 
@@ -190,7 +211,7 @@ def fit(
         step_fn = make_train_step_fused(cfg)
         ref = rp.pad_ref_chw(jnp.asarray(ref), cfg)
     else:
-        step_fn = make_train_step(cfg, render_fn)
+        step_fn = make_train_step(cfg, render_fn, ssim_lambda=ssim_lambda)
     if use_fused and scan_chunk and scan_chunk > 1 and _needs_split(cfg):
         # Scanning would fuse binning+kernels into one program; at these
         # step times (>1 s) dispatch overhead is noise, so run split steps.
@@ -204,7 +225,7 @@ def fit(
             use_fused=use_fused, render_fn=render_fn, log_every=log_every,
             log_fn=log_fn, checkpoint_every=checkpoint_every,
             checkpoint_fn=checkpoint_fn,
-            raise_on_nonfinite=raise_on_nonfinite)
+            raise_on_nonfinite=raise_on_nonfinite, ssim_lambda=ssim_lambda)
     history = []
     t0 = time.perf_counter()
     warned_drop = [False]
@@ -256,6 +277,7 @@ def fit(
 def _fit_scanned(
     ref, cfg, iterations, state, scan_chunk, *, use_fused, render_fn,
     log_every, log_fn, checkpoint_every, checkpoint_fn, raise_on_nonfinite,
+    ssim_lambda=0.0,
 ):
     """fit() body for scan_chunk > 1: on-device K-iteration scan blocks.
 
@@ -265,7 +287,7 @@ def _fit_scanned(
     iteration timing within a block is not observable, elapsed_s is
     block-granular)."""
     fit_k = make_fit_scan_fused(cfg) if use_fused else \
-        make_fit_scan(cfg, render_fn)
+        make_fit_scan(cfg, render_fn, ssim_lambda=ssim_lambda)
     history = []
     t0 = time.perf_counter()
     warned_drop = False

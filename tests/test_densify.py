@@ -154,3 +154,38 @@ def test_training_still_converges_after_densify():
     state, hist1 = fit(ref, cfg, iterations=20, state=state, log_every=19,
                        log_fn=None)
     assert hist1[-1]["mse"] <= hist0[-1]["mse"] * 1.1  # no blow-up
+
+
+def test_opacity_reset():
+    """Reset caps live opacities, zeroes their Adam moments, leaves dead
+    slots and every other field untouched."""
+    from gs2d_tpu.train.densify import opacity_reset
+    from gs2d_tpu.train.loop import init_train_state
+
+    cfg = SplatConfig(width=W, height=H, n_splats=16, optimize_opacity=True)
+    ref = jnp.asarray(synthetic_target(H, W))
+    state, _ = fit(ref, cfg, iterations=5, log_fn=None)
+    state = state.replace(
+        opt=state.opt.replace(
+            m=state.opt.m.replace(
+                opacity=jnp.ones_like(state.opt.m.opacity))))
+    out = opacity_reset(state, cfg, value=0.3)
+    assert float(out.params.opacity.max()) <= 0.3 + 1e-6
+    assert float(jnp.abs(out.opt.m.opacity).max()) == 0.0
+    np.testing.assert_array_equal(np.asarray(out.params.pos),
+                                  np.asarray(state.params.pos))
+    np.testing.assert_array_equal(np.asarray(out.opt.m.pos),
+                                  np.asarray(state.opt.m.pos))
+
+
+def test_fit_adaptive_with_opacity_reset():
+    from gs2d_tpu.train.densify import fit_adaptive
+
+    cfg = SplatConfig(width=W, height=H, n_splats=32, max_splats_per_tile=32,
+                      optimize_opacity=True)
+    ref = jnp.asarray(synthetic_target(H, W))
+    state, hist = fit_adaptive(ref, cfg, iterations=30, densify_every=10,
+                               opacity_reset_every=10, log_every=29,
+                               log_fn=None)
+    assert np.isfinite(hist[-1]["mse"])
+    assert hist[-1]["mse"] < hist[0]["mse"] if len(hist) > 1 else True
