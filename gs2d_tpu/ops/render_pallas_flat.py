@@ -41,8 +41,10 @@ from gs2d_tpu.params import GaussianParams
 # Population size above which "auto" binning picks the flat layout: the
 # dense path's padded pregather/scatter overhead grows with count skew and
 # population, the flat path's fixed overheads (fwd/bwd as separate calls)
-# shrink relatively. Crossover measured on v5e (BASELINE.md).
-FLAT_THRESHOLD = 65536
+# shrink relatively. Measured on v5e with the exact-count binner
+# (BASELINE.md round 2): dense wins at 1k (2.2 vs 1.6-2.7 ms scanned),
+# flat wins from 10k up (14.0 vs 18.9 ms).
+FLAT_THRESHOLD = 8192
 
 
 def use_flat(cfg: SplatConfig) -> bool:
