@@ -217,6 +217,12 @@ def main():
             util = r["vpu_ops_per_s"] / (vpu)  # ops vs FMA slots
             line += f"  VPU ~{100*util:5.1f}% of measured ceiling"
         print(line, flush=True)
+    print("NOTE: utilization counts BINNED pairs; the saturation early-exit\n"
+          "skips chunks whose tile is opaque, so executed pairs <= binned\n"
+          "pairs and the printed % is an upper bound on work but a\n"
+          "lower bound on how close the kernel runs to the issue ceiling.\n"
+          ">=100% means the early-exit is skipping a nontrivial fraction.",
+          flush=True)
 
 
 if __name__ == "__main__":
