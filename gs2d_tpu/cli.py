@@ -31,6 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto",
                    help="auto = pallas tiles on TPU, scan elsewhere")
     p.add_argument("--lr", type=float, default=0.05)
+    p.add_argument("--lr-decay-iters", type=int, default=0,
+                   help="decay lr exponentially to --lr-final over this many "
+                        "iterations, then hold (0 = constant lr, the "
+                        "reference behavior)")
+    p.add_argument("--lr-final", type=float, default=0.005)
     p.add_argument("--optimize-opacity", action="store_true",
                    help="update opacity too (reference toggle, default off)")
     p.add_argument("--exact-exp", action="store_true",
@@ -96,6 +101,7 @@ def main(argv=None) -> int:
     cfg = SplatConfig(
         width=w, height=h, n_splats=args.splats,
         learning_rate=args.lr,
+        lr_final=args.lr_final, lr_decay_iters=args.lr_decay_iters,
         optimize_opacity=args.optimize_opacity,
         use_exp_approx=not args.exact_exp,
         max_splats_per_tile=args.max_per_tile or None,

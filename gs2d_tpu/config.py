@@ -48,6 +48,13 @@ class SplatConfig:
     adam_eps: float = 1.0e-15  # reference main.cpp:154
     learning_rate: float = 0.05  # reference main.cpp:715
     optimize_opacity: bool = False  # reference main.cpp:317 (UI default)
+    # Exponential learning-rate decay (net-new; the reference holds lr
+    # constant, main.cpp:715). When ``lr_decay_iters`` > 0 the effective rate
+    # at optimizer step t is lr * (lr_final/lr)^(min(t,T)/T) -- the 3DGS
+    # position-lr schedule generalized to all parameters. Computed on-device
+    # from AdamState.step, so one compiled step serves the whole schedule.
+    lr_final: float = 0.005
+    lr_decay_iters: int = 0
 
     # --- init ranges (reference main.cpp:294-302) -------------------------
     init_scale_min: float = 6.0

@@ -58,6 +58,15 @@ def adam_update(
     b1 = jnp.float32(cfg.adam_beta1)
     b2 = jnp.float32(cfg.adam_beta2)
     lr = jnp.float32(cfg.learning_rate)
+    if cfg.lr_decay_iters > 0:
+        # Exponential decay lr -> lr_final over lr_decay_iters steps, then
+        # held; a traced function of the on-device step counter (no
+        # recompiles across the schedule).
+        frac = jnp.minimum(
+            state.step.astype(jnp.float32) / jnp.float32(cfg.lr_decay_iters),
+            jnp.float32(1.0))
+        lr = lr * jnp.power(jnp.float32(cfg.lr_final / cfg.learning_rate),
+                            frac)
     eps = jnp.float32(cfg.adam_eps)
     beta1t = state.beta1t * b1
     beta2t = state.beta2t * b2

@@ -122,6 +122,102 @@ FWD_OPS = 40   # vector ops per pair-step, hand-counted (docstring)
 BWD_OPS = 95
 
 
+def workload_scan_diff(name, w, h, n_splats, binning, image=None, iters=60):
+    """Tunnel-free kernel timing for small workloads.
+
+    A host loop of per-call dispatches bottoms out at the tunnel's pipeline
+    floor (~2-3 ms/call at shallow queue depth), which swamps sub-5 ms
+    kernels -- the round-2 per-call numbers for mini/10k were mostly tunnel.
+    Instead run two genuinely loop-carried on-device ``lax.scan`` programs:
+
+      t_full  = the production fused fit scan (binning + kernel + adam +
+                metrics per iteration),
+      t_rest  = the same scan with the rasterization kernel excised
+                (binning + adam on ~zero grads; the binning result feeds the
+                grads through a 1e-30-scaled term so XLA cannot dead-code or
+                hoist it),
+
+    and report kernel_ms = t_full - t_rest. Both scans advance params each
+    iteration, so nothing is loop-invariant. Pair counts drift as the fit
+    progresses; we average the binned counts at the initial and final states.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gs2d_tpu.config import SplatConfig
+    from gs2d_tpu.io.image import load_asset, synthetic_target
+    from gs2d_tpu.ops import render_pallas as rp
+    from gs2d_tpu.ops import render_pallas_flat as rpf
+    from gs2d_tpu.ops import tiles as tl
+    from gs2d_tpu.ops import tiles_flat as tlf
+    from gs2d_tpu.train.adam import adam_update
+    from gs2d_tpu.train.loop import (TrainState, init_train_state,
+                                     make_fit_scan_fused)
+
+    ref = load_asset(image) if image else synthetic_target(h, w)
+    cfg = SplatConfig(width=w, height=h, n_splats=n_splats, binning=binning)
+    state0 = init_train_state(cfg)
+    if binning == "flat":
+        cfg = rpf.tune_flat_config(state0.params, cfg)
+
+        def bin_fn(p):
+            return tlf.bin_splats_flat(p, cfg, cfg.flat_capacity,
+                                       kc=cfg.flat_chunk,
+                                       max_chunks=cfg.flat_max_chunks)
+    else:
+        cfg = tl.tune_tile_capacity(state0.params, cfg)
+        k = rp._max_per_tile(cfg)
+
+        def bin_fn(p):
+            return tl.bin_splats(p, cfg, k)
+
+    refc = rp.pad_ref_chw(jnp.asarray(ref), cfg)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n_iters",))
+    def rest_scan(state, n_iters):
+        def body(st, _):
+            b = bin_fn(st.params)
+            # Keep the binning live and the loop carried: fold an O(1e-30)
+            # function of its counts into otherwise-zero gradients.
+            eps = jnp.sum(b.count.astype(jnp.float32)) * jnp.float32(1e-30)
+            grads = jax.tree.map(jnp.zeros_like, st.params)
+            grads = grads.replace(pos=grads.pos + eps)
+            params, opt = adam_update(st.params, grads, st.opt, cfg)
+            return TrainState(params=params, opt=opt), jnp.float32(0)
+
+        return jax.lax.scan(body, state, None, length=n_iters)[0]
+
+    fit_k = make_fit_scan_fused(cfg)
+
+    def run(fn, *args):
+        out = fn(*args)
+        sync(jax.tree_util.tree_leaves(out)[0])
+        t0 = time.perf_counter()
+        out = fn(*args)
+        sync(jax.tree_util.tree_leaves(out)[0])
+        return (time.perf_counter() - t0) / iters, out
+
+    t_full, (state_end, _) = run(fit_k, state0, refc, iters)
+    t_rest, _ = run(rest_scan, state0, iters)
+    kernel = t_full - t_rest
+
+    counts0 = jax.jit(lambda p: jnp.sum(bin_fn(p).count))(state0.params)
+    counts1 = jax.jit(lambda p: jnp.sum(bin_fn(p).count))(state_end.params)
+    pair_steps = 0.5 * (int(counts0) + int(counts1))
+    ops = pair_steps * (FWD_OPS + BWD_OPS) * 8 * 128
+    return {
+        "workload": name,
+        "pair_steps": int(pair_steps),
+        "full_ms": t_full * 1e3,
+        "rest_ms": t_rest * 1e3,
+        "kernel_ms": kernel * 1e3,
+        "pair_steps_per_s": pair_steps / kernel,
+        "vpu_ops_per_s": ops / kernel,
+    }
+
+
 def workload(name, w, h, n_splats, binning, image=None, iters=10):
     import jax
     import jax.numpy as jnp
@@ -201,10 +297,24 @@ def main():
     else:
         bw = vpu = None
 
-    cases = [
+    # Small workloads (kernel < ~20 ms): per-call timing is tunnel-floor
+    # polluted; use the scan-differential measurement. Large ones: direct.
+    scan_cases = [
         ("mini 1k", 268, 213, 1024, "dense", "squirrel_cls_mini.jpg"),
         ("10k", 535, 426, 10240, "dense", "squirrel_cls.jpg"),
         ("10k flat", 535, 426, 10240, "flat", "squirrel_cls.jpg"),
+    ]
+    for name, w, h, n, binning, image in scan_cases:
+        r = workload_scan_diff(name, w, h, n, binning, image)
+        line = (f"{name:18s} pair-steps {r['pair_steps']:>9d}  "
+                f"kernel {r['kernel_ms']:7.2f} ms "
+                f"(scan {r['full_ms']:.2f} - rest {r['rest_ms']:.2f})  "
+                f"{r['pair_steps_per_s']/1e6:6.1f} M pair-steps/s")
+        if vpu:
+            util = r["vpu_ops_per_s"] / (vpu)
+            line += f"  VPU ~{100*util:5.1f}% of measured ceiling"
+        print(line, flush=True)
+    cases = [
         ("1080p 100k flat", 1920, 1080, 102400, "flat", None),
     ]
     for name, w, h, n, binning, image in cases:

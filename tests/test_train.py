@@ -66,6 +66,46 @@ class TestAdamVsOracle:
         assert (np.asarray(params.opacity) >= 0.1).all()
 
 
+class TestLrDecay:
+    """Exponential lr schedule (net-new vs the constant-lr reference,
+    main.cpp:715). With a constant gradient g, Adam's update is exactly
+    lr_t * sign(g) (m_hat=g, v_hat=g^2), so parameter deltas measure the
+    schedule directly."""
+
+    def _deltas(self, cfg, n_steps):
+        n = 8
+        params = to_params(random_splats(np.random.default_rng(0), n, W, H))
+        state = init_adam_state(params)
+        g = jax.tree.map(jnp.ones_like, params)
+        deltas = []
+        for _ in range(n_steps):
+            new, state = adam_update(params, g, state, cfg)
+            # rot is unclamped and far from any boundary for these splats
+            deltas.append(float(params.rot[0] - new.rot[0]))
+            params = new
+        return deltas
+
+    def test_schedule_matches_formula(self):
+        lr0, lrf, T = 0.05, 0.005, 8
+        cfg = SplatConfig(width=W, height=H, n_splats=8, learning_rate=lr0,
+                          lr_final=lrf, lr_decay_iters=T)
+        deltas = self._deltas(cfg, 12)
+        for t, d in enumerate(deltas):
+            frac = min(t / T, 1.0)
+            expected = lr0 * (lrf / lr0) ** frac
+            np.testing.assert_allclose(d, expected, rtol=1e-4,
+                                       err_msg=f"step {t}")
+        # held at lr_final beyond T
+        np.testing.assert_allclose(deltas[-1], lrf, rtol=1e-4)
+
+    def test_disabled_matches_constant(self):
+        base = SplatConfig(width=W, height=H, n_splats=8, learning_rate=0.05)
+        dec0 = SplatConfig(width=W, height=H, n_splats=8, learning_rate=0.05,
+                           lr_decay_iters=0, lr_final=1e-9)
+        np.testing.assert_array_equal(self._deltas(base, 3),
+                                      self._deltas(dec0, 3))
+
+
 class TestFullIterationVsOracle:
     def test_two_iterations_allclose(self, rng):
         """Complete fwd+bwd+Adam iterations must track the oracle."""
