@@ -188,7 +188,10 @@ def main(argv=None) -> int:
     else:
         remaining = args.iters
     block = remaining
-    for every in (args.densify_every, args.reorder_every):
+    # Renders are dumped at block boundaries, so every N-iteration cadence
+    # (densify, reorder, mid-fit render) bounds the block size.
+    for every in (args.densify_every, args.reorder_every,
+                  args.save_render_every):
         if every:
             block = min(block, every)
     while remaining > 0:
@@ -199,9 +202,8 @@ def main(argv=None) -> int:
             checkpoint_every=args.checkpoint_every,
             checkpoint_fn=on_ckpt if ck else None,
             use_fused=use_pallas, scan_chunk=args.scan_chunk,
-            ssim_lambda=args.ssim)
+            ssim_lambda=args.ssim, iter_offset=it_done[0])
         for rec in hist:
-            rec["iter"] += it_done[0]
             logger.log(**rec)
         it_done[0] += n
         remaining -= n
@@ -218,7 +220,8 @@ def main(argv=None) -> int:
             from gs2d_tpu.train.reorder import reorder_state
             state = reorder_state(state, cfg)
             print(f"morton reorder at iter {it_done[0]}")
-        if args.save_render_every:
+        if args.save_render_every \
+                and it_done[0] % args.save_render_every == 0:
             img = render_fn(state.params, cfg)
             save_image(os.path.join(args.out, f"render_{it_done[0]:06d}.png"),
                        jax.device_get(img))

@@ -175,6 +175,7 @@ def fit(
     sync_every: int = 32,
     scan_chunk: int = 0,
     ssim_lambda: float = 0.0,
+    iter_offset: int = 0,
 ):
     """Host driver for the fitting loop (the reference's while-NextFrame loop,
     main.cpp:334-851, minus the GUI).
@@ -185,8 +186,11 @@ def fit(
     the fastest shape on a remote TPU; logging/checkpoint granularity becomes
     the block). ``ssim_lambda`` > 0 uses the perceptual L2+SSIM mix, which
     runs on the modular custom-VJP path (the fused kernels hard-code the L2
-    cotangent). Returns (state, history) where history is a list of
-    per-logged-step dicts.
+    cotangent). ``iter_offset`` shifts logged/recorded iteration numbers
+    (callers running fit() in blocks -- densify windows, resume -- pass the
+    global start so logs and history stay globally numbered; checkpoint_fn
+    steps remain block-relative). Returns (state, history) where history is
+    a list of per-logged-step dicts.
     """
     if state is None:
         state = init_train_state(cfg)
@@ -225,7 +229,8 @@ def fit(
             use_fused=use_fused, render_fn=render_fn, log_every=log_every,
             log_fn=log_fn, checkpoint_every=checkpoint_every,
             checkpoint_fn=checkpoint_fn,
-            raise_on_nonfinite=raise_on_nonfinite, ssim_lambda=ssim_lambda)
+            raise_on_nonfinite=raise_on_nonfinite, ssim_lambda=ssim_lambda,
+            iter_offset=iter_offset)
     history = []
     t0 = time.perf_counter()
     warned_drop = [False]
@@ -258,14 +263,15 @@ def fit(
             check_finite(aux, it)
             mse = float(aux.mse)
             rec = {
-                "iter": it,
+                "iter": it + iter_offset,
                 "mse": mse,
                 "psnr": float(aux.psnr),
                 "elapsed_s": time.perf_counter() - t0,
             }
             history.append(rec)
             if log_fn:
-                log_fn(f"{it} itr, mse {mse:.4f}, psnr {rec['psnr']:.2f} dB")
+                log_fn(f"{it + iter_offset} itr, mse {mse:.4f}, "
+                       f"psnr {rec['psnr']:.2f} dB")
         if checkpoint_every and checkpoint_fn and (it + 1) % checkpoint_every == 0:
             checkpoint_fn(state, it + 1)
     if aux is not None:
@@ -277,7 +283,7 @@ def fit(
 def _fit_scanned(
     ref, cfg, iterations, state, scan_chunk, *, use_fused, render_fn,
     log_every, log_fn, checkpoint_every, checkpoint_fn, raise_on_nonfinite,
-    ssim_lambda=0.0,
+    ssim_lambda=0.0, iter_offset=0,
 ):
     """fit() body for scan_chunk > 1: on-device K-iteration scan blocks.
 
@@ -318,11 +324,12 @@ def _fit_scanned(
             if log_every and (it % log_every == 0 or it == iterations - 1):
                 mse = float(mse_block[j])
                 psnr = float(jax.device_get(auxes.psnr)[j])
-                rec = {"iter": it, "mse": mse, "psnr": psnr,
+                rec = {"iter": it + iter_offset, "mse": mse, "psnr": psnr,
                        "elapsed_s": elapsed}
                 history.append(rec)
                 if log_fn:
-                    log_fn(f"{it} itr, mse {mse:.4f}, psnr {psnr:.2f} dB")
+                    log_fn(f"{it + iter_offset} itr, mse {mse:.4f}, "
+                           f"psnr {psnr:.2f} dB")
         done += n
         if checkpoint_every and checkpoint_fn and \
                 done % checkpoint_every == 0:
