@@ -22,7 +22,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="gs2d_tpu.fit",
         description="Fit 2D Gaussian splats to a target image (TPU-native).")
-    p.add_argument("image", help="target image path (jpg/png)")
+    p.add_argument("image", nargs="+",
+                   help="target image path(s); more than one runs the "
+                        "batched multi-image fit (one independent splat "
+                        "population per image, vmapped fused kernels -- "
+                        "BASELINE configs[4]; all images must share "
+                        "dimensions)")
     p.add_argument("--splats", type=int, default=1024,
                    help="population size (reference default 1024)")
     p.add_argument("--iters", type=int, default=1000)
@@ -80,6 +85,62 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _fit_batch(args, cfg, refs, logger) -> int:
+    """Batched multi-image fit (BASELINE configs[4] shape): one independent
+    splat population per image, vmapped fused Pallas kernels on one device
+    (vmap adds a batch grid dimension; `--mesh` with a data axis spreads the
+    same computation across chips via fit_sharded instead)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from gs2d_tpu.io.image import save_image
+    from gs2d_tpu.ops import render_pallas as rp
+    from gs2d_tpu.ops import tiles as tl
+    from gs2d_tpu.parallel.sharded import init_batched_state
+    from gs2d_tpu.train.loop import init_train_state, \
+        make_batched_train_step_fused
+
+    for flag in ("mesh", "resume", "recover", "densify_every", "scan_chunk"):
+        if getattr(args, flag):
+            print(f"error: --{flag.replace('_', '-')} is not supported with "
+                  "multi-image batch fitting")
+            return 2
+    if cfg.binning == "flat":
+        print("error: multi-image batch fitting uses dense binning")
+        return 2
+    b = len(refs)
+    if cfg.max_splats_per_tile is None:
+        cfg = tl.tune_tile_capacity(init_train_state(cfg).params, cfg)
+    refs_chw = jnp.stack([rp.pad_ref_chw(jnp.asarray(r), cfg) for r in refs])
+    state = init_batched_state(cfg, b)
+    step = make_batched_train_step_fused(cfg)
+    t0 = time.perf_counter()
+    aux = None
+    for it in range(args.iters):
+        state, aux = step(state, refs_chw)
+        if it % 32 == 31:  # bound the async dispatch queue (tunnel)
+            float(aux.mse[0])
+        if args.log_every and (it % args.log_every == 0
+                               or it == args.iters - 1):
+            if not bool(aux.all_finite.all()):
+                raise FloatingPointError(
+                    f"non-finite splat parameters at iteration {it}")
+            mse = [float(x) for x in jax.device_get(aux.mse)]
+            logger.log(iter=it, mse=mse)
+            print(f"{it} itr, mse " + " ".join(f"{m:.2f}" for m in mse))
+    total = time.perf_counter() - t0
+    print(f"fit {b} images x {args.iters} iters in {total:.2f}s "
+          f"({args.iters / total:.1f} batched iters/s)")
+    for i in range(b):
+        img = rp.render(jax.tree.map(lambda x: x[i], state.params), cfg)
+        save_image(os.path.join(args.out, f"render_final_{i:02d}.png"),
+                   jax.device_get(img))
+    logger.close()
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -96,8 +157,12 @@ def main(argv=None) -> int:
     from gs2d_tpu.train.loop import fit, init_train_state
     from gs2d_tpu.utils.profiling import JsonlLogger, ThroughputCounter
 
-    ref = load_image(args.image)
-    h, w = ref.shape[:2]
+    refs = [load_image(path) for path in args.image]
+    h, w = refs[0].shape[:2]
+    if any(r.shape != refs[0].shape for r in refs):
+        print("error: multi-image batch fitting requires equal dimensions")
+        return 2
+    ref = refs[0]
     cfg = SplatConfig(
         width=w, height=h, n_splats=args.splats,
         learning_rate=args.lr,
@@ -116,6 +181,9 @@ def main(argv=None) -> int:
 
     os.makedirs(args.out, exist_ok=True)
     logger = JsonlLogger(os.path.join(args.out, "metrics.jsonl"))
+
+    if len(refs) > 1:
+        return _fit_batch(args, cfg, refs, logger)
     ck = Checkpointer(os.path.join(args.out, "checkpoints")) \
         if (args.checkpoint_every or args.resume) else None
 
