@@ -31,8 +31,11 @@ def main():
 
     ref = load_asset("squirrel_cls_mini.jpg")
     h, w = ref.shape[:2]
+    # tile_h=32: small images are grid-dispatch-bound; the measured sweep
+    # (BASELINE.md) shows 32-row tiles at 1.33x over the 8-row default on
+    # this workload (identical MSE trajectory, zero binning drops at K=256).
     cfg = SplatConfig(width=w, height=h, n_splats=1024,
-                      max_splats_per_tile=256)
+                      max_splats_per_tile=256, tile_h=32)
 
     on_tpu = jax.default_backend() not in ("cpu",)
     state = init_train_state(cfg)

@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "round-trips -- fastest on a remote TPU")
     p.add_argument("--max-per-tile", type=int, default=0,
                    help="per-tile splat capacity for the pallas path")
+    p.add_argument("--tile-h", type=int, default=0,
+                   help="pixel-tile height for the pallas path (0 = auto: "
+                        "32, which won the measured sweep at every scale; "
+                        "see BASELINE.md)")
     p.add_argument("--binning", choices=["auto", "dense", "flat"],
                    default="auto",
                    help="tile binning layout (auto picks flat above 64k "
@@ -172,6 +176,11 @@ def main(argv=None) -> int:
         max_splats_per_tile=args.max_per_tile or None,
         binning=args.binning,
     )
+    if args.tile_h:
+        cfg = cfg.replace(tile_h=args.tile_h)
+    else:
+        from gs2d_tpu.ops.tiles import tune_tile_height
+        cfg = tune_tile_height(cfg)
     refj = jnp.asarray(ref)
 
     on_tpu = jax.default_backend() not in ("cpu",)

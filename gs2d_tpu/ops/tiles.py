@@ -261,6 +261,29 @@ def bin_splats(
     )
 
 
+PRODUCTION_TILE_H = 32
+
+
+def tune_tile_height(cfg: SplatConfig) -> SplatConfig:
+    """Tile-height policy, measured on v5e (BASELINE.md tile-height sweep).
+
+    32-row tiles beat the 8-row default at EVERY measured scale:
+    268x213/1k 1.33x, 535x426/10k dense 1.78x, 10k flat 1.34x,
+    1080p/100k flat 1.16x, 1080p/1M 1.14x, 4K/4M 1.18x. Two mechanisms:
+    small images are grid-dispatch-bound (mini: 81 -> 21 grid steps), and
+    a splat spans ~4x fewer tiles, so the flat layout's pair-row count M
+    (its dominant O(pairs) pregather/scatter cost) roughly halves (4M:
+    15.5M -> 9.1M rows). The extra masked boundary rows are absorbed by
+    the saturation early-exit and deeper ILP per block. tile_h=16 LOSES
+    (10k flat 18.4 vs 13.9 ms; 100k 137 vs 132) -- 2-vreg blocks break the
+    kernels' unroll geometry -- and 64 loses to boundary waste + per-tile
+    capacity pressure. The 8-row default is kept for SplatConfig (tests
+    pin bitwise goldens to it); production entries (CLI, bench) call this.
+    Callers honoring an explicit user tile_h should skip it.
+    """
+    return cfg.replace(tile_h=PRODUCTION_TILE_H)
+
+
 def tune_tile_capacity(
     p: GaussianParams,
     cfg: SplatConfig,

@@ -212,3 +212,34 @@ class TestChunkedModular:
             a, c = np.asarray(getattr(g1, f)), np.asarray(getattr(g, f))
             atol = 2e-4 * max(1.0, np.abs(a).max())
             np.testing.assert_allclose(c, a, atol=atol, err_msg=f)
+
+
+class TestTileHeight:
+    """Production tile-height policy: 32-row tiles (measured sweep,
+    BASELINE.md) must be a pure layout change -- forward equal to ~1 ulp
+    (Mosaic emits different mul/add fusion shapes per block geometry),
+    grads equal up to partition reassociation."""
+
+    def test_tile_h_equivalence(self, rng):
+        cfg0, p, ref = case(rng, 64, max_splats_per_tile=64)
+        outs = {}
+        for th in (8, 16, 32):
+            cfg = cfg0.replace(tile_h=th)
+            b = tl.bin_splats(p, cfg, 64)
+            refc = rp.pad_ref_chw(jnp.asarray(ref), cfg)
+            color, grads = rp.l2_render_and_grads(b, refc, 64, cfg)
+            outs[th] = (np.asarray(color)[:H, :W],
+                        jax.tree.map(np.asarray, grads))
+        for th in (16, 32):
+            np.testing.assert_allclose(outs[8][0], outs[th][0],
+                                       rtol=3e-7, atol=2e-7)
+            for f in ("pos", "sx", "sy", "rot", "color", "opacity"):
+                np.testing.assert_allclose(
+                    getattr(outs[8][1], f), getattr(outs[th][1], f),
+                    rtol=1e-3, atol=2e-6, err_msg=f"{f} th={th}")
+
+    def test_tune_tile_height(self):
+        cfg = SplatConfig(width=W, height=H, n_splats=8)
+        assert tl.tune_tile_height(cfg).tile_h == tl.PRODUCTION_TILE_H
+        big = SplatConfig(width=3840, height=2160, n_splats=8)
+        assert tl.tune_tile_height(big).tile_h == tl.PRODUCTION_TILE_H
