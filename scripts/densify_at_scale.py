@@ -41,10 +41,13 @@ def main():
     from gs2d_tpu.io.image import synthetic_target
     from gs2d_tpu.train.densify import fit_adaptive, n_live
 
+    from gs2d_tpu.ops.tiles import tune_tile_height
+
     h, w = (int(x) for x in args.size.split("x"))
     lo, hi = (float(x) for x in args.init_scale.split(","))
-    cfg = SplatConfig(width=w, height=h, n_splats=args.splats,
-                      binning="flat", init_scale_min=lo, init_scale_max=hi)
+    cfg = tune_tile_height(SplatConfig(
+        width=w, height=h, n_splats=args.splats,
+        binning="flat", init_scale_min=lo, init_scale_max=hi))
     ref = synthetic_target(h, w)
 
     iters = args.windows * args.window + args.window  # final window, no event
