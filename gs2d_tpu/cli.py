@@ -69,10 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pixel-tile height for the pallas path (0 = auto: "
                         "32, which won the measured sweep at every scale; "
                         "see BASELINE.md)")
-    p.add_argument("--binning", choices=["auto", "dense", "flat"],
+    p.add_argument("--binning",
+                   choices=["auto", "dense", "flat", "resident"],
                    default="auto",
-                   help="tile binning layout (auto picks flat above 64k "
-                        "splats; see ops/tiles_flat.py)")
+                   help="tile binning layout (auto picks by population "
+                        "size; resident = small-N whole-table kernel, see "
+                        "ops/render_pallas_resident.py)")
     p.add_argument("--mesh", default="",
                    help="data,tile,splat axis sizes for multi-device runs "
                         "(e.g. 1,2,4); empty = single device")

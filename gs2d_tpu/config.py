@@ -85,6 +85,9 @@ class SplatConfig:
     # "dense": padded (n_tiles, K) lists + single fused kernel -- best at
     #   small/medium N. "flat": block-aligned flat pair array + scalar-
     #   prefetch kernels, O(actual pairs) gather/scatter -- best at large N.
+    # "resident": ids-only binning + whole-table-in-SMEM fused kernel with
+    #   in-kernel one-hot MXU gradient expansion (no pregather, no scatter)
+    #   -- small N only (see ops/render_pallas_resident.py).
     # "auto" picks by n_splats (see ops.render_pallas_flat.use_flat).
     binning: str = "auto"
     # Flat-layout statics (set by tiles_flat.tune_flat_capacity / fit()):

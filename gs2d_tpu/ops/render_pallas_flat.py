@@ -51,7 +51,7 @@ def use_flat(cfg: SplatConfig) -> bool:
     """Resolve cfg.binning ("auto" picks by population size)."""
     if cfg.binning == "flat":
         return True
-    if cfg.binning == "dense":
+    if cfg.binning in ("dense", "resident"):
         return False
     if cfg.binning != "auto":
         raise ValueError(f"unknown binning {cfg.binning!r}")

@@ -1,0 +1,230 @@
+"""Resident-population fused L2 kernel for small splat counts.
+
+The dense path (render_pallas.py) pays two O(n_tiles * K) per-row costs
+outside the kernel every iteration: the packed-parameter pregather
+(``tiles.bin_splats`` gathers one 64-byte row per (tile, slot)) and the
+gradient scatter (``_segment_grads`` scatter-adds one row per (tile, slot)
+back onto the splat axis). The TPU gather/scatter unit pays per ROW, not
+per byte (CLAUDE.md), so at small populations those two moves rival the
+rasterization kernel itself.
+
+This variant removes both for populations whose whole parameter table fits
+in SMEM:
+
+- Binning produces only the per-tile id lists (``bin_splats(ids_only=)``) --
+  no parameter pregather. The kernel holds the full (N+1, N_FIELDS) packed
+  table in SMEM and fetches each listed splat's scalars by id through a
+  view adapter (``_TableView``), so the shared kernel math
+  (render_pallas._splat_terms / _fwd_one / _bwd_splat_step -- the exact
+  reference semantics, main.cpp:418-712) is reused untouched. Row N of the
+  table is the benign pad row; padded slots are remapped to it outside the
+  kernel (ids -1 -> N), making overhang slots numerical no-ops exactly like
+  the dense path's pad_vals.
+- Gradients accumulate into a single resident (16, n_pad) VMEM output
+  block that every grid step revisits: each tile reduces its per-slot
+  gradient columns (9, K) like the dense kernel, then expands them onto the
+  splat axis inside the kernel with a one-hot MXU matmul
+  (gacc (9, K) @ onehot (K, n_pad)) -- a splat appears at most once per
+  tile list, so every (slot -> splat) product is exact and the sum has no
+  duplicate-index ambiguity. No XLA scatter remains in the step.
+
+The layout targets the reference's own default workload scale (1024 splats,
+main.cpp:271): SMEM is the limit (the table is 64 KB at 1k, 16 B * N + 16
+per row), and the one-hot expansion is O(K * n_pad) vector ops per tile,
+both of which grow linearly with N -- large populations want the flat
+layout (render_pallas_flat.py) instead.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gs2d_tpu.config import SplatConfig
+from gs2d_tpu.ops import tiles as tl
+from gs2d_tpu.ops.render_pallas import (G_CB, G_CG, G_CR, G_OP, G_PX, G_PY,
+                                        G_ROT, G_SX, G_SY, N_GRAD_FIELDS,
+                                        _bwd_splat_step, _fwd_one,
+                                        _should_interpret, _tile_coords,
+                                        _unrolled)
+from gs2d_tpu.params import GaussianParams
+
+
+class _TableView:
+    """Adapter making (table_ref, ids_ref) index like the dense kernels'
+    (1, K, N_FIELDS) SMEM parameter block: view[0, k, i] reads field i of
+    the splat listed in slot k (ids pre-remapped, -1 -> benign row N)."""
+
+    def __init__(self, table_ref, ids_ref):
+        self._table = table_ref
+        self._ids = ids_ref
+
+    def __getitem__(self, idx):
+        _, k, i = idx
+        return self._table[self._ids[0, k], i]
+
+    @property
+    def shape(self):
+        # (1, K, N_FIELDS), the dense block shape the callers introspect.
+        return (1,) + self._ids.shape[1:] + self._table.shape[1:]
+
+
+def _l2_resident_kernel(count_ref, table_ref, ids_ref, idc_ref, ref_ref,
+                        color_ref, grads_ref, *, cfg: SplatConfig,
+                        n_pad: int):
+    """Fused L2 forward + cotangent + backward with a resident parameter
+    table (SMEM) and a resident gradient accumulator (VMEM, revisited by
+    every grid step). Mirrors render_pallas._l2_fused_kernel otherwise."""
+    yy, xx, fy, fx, inside = _tile_coords(cfg)
+    th, tw = cfg.tile_h, cfg.tile_w
+    i_t = pl.program_id(0)
+    j_t = pl.program_id(1)
+    n_live = count_ref[i_t * cfg.n_tiles_x + j_t]
+    view = _TableView(table_ref, ids_ref)
+    k_cap = ids_ref.shape[1]
+    u = _unrolled(k_cap)
+
+    @pl.when((i_t == 0) & (j_t == 0))
+    def _():
+        grads_ref[...] = jnp.zeros_like(grads_ref)
+
+    # ---- pass 1: forward composite --------------------------------------
+    def fwd_body(c, carry):
+        for i in range(u):
+            carry = _fwd_one(view, c * u + i, fx, fy, xx, yy, inside, cfg,
+                             carry)
+        return carry
+
+    zero = jnp.zeros((th, tw), jnp.float32)
+    fin_r, fin_g, fin_b, _ = jax.lax.fori_loop(
+        0, (n_live + u - 1) // u, fwd_body,
+        (zero, zero, zero, jnp.ones((th, tw), jnp.float32)))
+    color_ref[0, 0] = fin_r
+    color_ref[0, 1] = fin_g
+    color_ref[0, 2] = fin_b
+
+    gc_rgb = (fin_r - ref_ref[0, 0], fin_g - ref_ref[0, 1],
+              fin_b - ref_ref[0, 2])
+    fin_rgb = (fin_r, fin_g, fin_b)
+
+    # ---- pass 2: backward replay ----------------------------------------
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, k_cap), 1)
+
+    def bwd_body(c, carry):
+        comp, gacc = carry
+        for i in range(u):
+            k = c * u + i
+            comp, col = _bwd_splat_step(view, k, fx, fy, xx, yy, inside,
+                                        cfg, comp, fin_rgb, gc_rgb)
+            oh = (lane == k).astype(jnp.float32)
+            gacc = gacc + col * oh
+        return comp, gacc
+
+    comp0 = (zero, zero, zero, jnp.ones((th, tw), jnp.float32))
+    _, gacc = jax.lax.fori_loop(
+        0, (n_live + u - 1) // u, bwd_body,
+        (comp0, jnp.zeros((9, k_cap), jnp.float32)))
+
+    # Expand the per-slot columns onto the splat axis on the MXU: slot k of
+    # this tile contributes to exactly splat ids[k] (a splat appears at most
+    # once per tile list), so the one-hot products and row sums are exact.
+    # Remapped pad ids (N) match either no lane or a lane >= N that the
+    # caller slices away.
+    onehot = (idc_ref[0] == jax.lax.broadcasted_iota(
+        jnp.int32, (k_cap, n_pad), 1)).astype(jnp.float32)
+    contrib = jax.lax.dot_general(
+        gacc, onehot, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    grads_ref[...] = grads_ref[...] + jnp.concatenate(
+        [contrib, jnp.zeros((N_GRAD_FIELDS - 9, n_pad), jnp.float32)],
+        axis=0)
+
+
+def resident_table(params: GaussianParams, cfg: SplatConfig) -> jax.Array:
+    """(N+1, N_FIELDS) packed parameter rows + the benign pad row."""
+    rows = jnp.transpose(tl.packed_fields(params, cfg.splat_bounds))
+    pad = jnp.zeros((1, tl.N_FIELDS), jnp.float32)
+    pad = pad.at[0, jnp.array([tl.FIELD_A, tl.FIELD_D, tl.FIELD_SX,
+                               tl.FIELD_SY, tl.FIELD_COS])].set(1.0)
+    pad = pad.at[0, tl.FIELD_H].set(-1.0)
+    return jnp.concatenate([rows, pad], axis=0)
+
+
+def l2_render_and_grads_resident(
+    binning: tl.TileBinning,
+    table: jax.Array,
+    ref_chw: jax.Array,
+    n_splats: int,
+    cfg: SplatConfig,
+    interpret: bool | None = None,
+) -> Tuple[jax.Array, GaussianParams]:
+    """Resident-table fused L2 train path (same contract as
+    render_pallas.l2_render_and_grads, full image only).
+
+    ``binning`` may be ids-only (bin_splats(ids_only=True)); ``table`` is
+    resident_table(params, cfg)."""
+    if interpret is None:
+        interpret = _should_interpret()
+    k = binning.ids.shape[1]
+    gy, gx = cfg.n_tiles_y, cfg.n_tiles_x
+    th, tw = cfg.tile_h, cfg.tile_w
+    hp = gy * th
+    n_pad = -(-n_splats // 128) * 128
+
+    ids_s = jnp.where(binning.ids >= 0, binning.ids,
+                      jnp.int32(n_splats)).astype(jnp.int32)
+    idc = ids_s[:, :, None]  # (n_tiles, K, 1): ids as per-tile columns
+
+    color, grads16 = pl.pallas_call(
+        functools.partial(_l2_resident_kernel, cfg=cfg, n_pad=n_pad),
+        grid=(gy, gx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # count (whole)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # table (whole)
+            pl.BlockSpec((1, k), lambda i, j, gx=gx: (i * gx + j, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, k, 1), lambda i, j, gx=gx: (i * gx + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, th, tw), lambda i, j: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, th, tw), lambda i, j: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_GRAD_FIELDS, n_pad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 3, hp, cfg.padded_width), jnp.float32),
+            jax.ShapeDtypeStruct((N_GRAD_FIELDS, n_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(binning.count, table, ids_s, idc, ref_chw)
+
+    g = grads16[:, :n_splats]
+    grads = GaussianParams(
+        pos=jnp.stack([g[G_PX], g[G_PY]], axis=-1),
+        sx=g[G_SX], sy=g[G_SY], rot=g[G_ROT],
+        color=jnp.stack([g[G_CR], g[G_CG], g[G_CB]], axis=-1),
+        opacity=g[G_OP],
+    )
+    color = jnp.transpose(color[0], (1, 2, 0))[: cfg.height, : cfg.width]
+    return color, grads
+
+
+def l2_step_resident(params: GaussianParams, ref_chw: jax.Array,
+                     cfg: SplatConfig, max_per_tile: int):
+    """One resident-path L2 evaluation: ids-only binning + fused kernel.
+
+    Returns (color (H, W, 3), grads, n_dropped)."""
+    binning = tl.bin_splats(params, cfg, max_per_tile, ids_only=True)
+    table = resident_table(params, cfg)
+    color, grads = l2_render_and_grads_resident(
+        binning, table, ref_chw, params.pos.shape[0], cfg)
+    return color, grads, binning.n_dropped

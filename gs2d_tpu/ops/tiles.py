@@ -124,6 +124,7 @@ def bin_splats(
     band_row0=0,
     band_rows: int | None = None,
     counts_only: bool = False,
+    ids_only: bool = False,
 ) -> TileBinning:
     """Build the per-tile splat lists (index order preserved within a tile).
 
@@ -137,6 +138,10 @@ def bin_splats(
     ``counts_only`` skips the id-matrix build and parameter pregather and
     returns just the *untruncated* per-tile counts (n_tiles,) -- used to
     auto-tune the static per-tile capacity (see tune_tile_capacity).
+
+    ``ids_only`` skips the parameter pregather (tile_params is a dummy
+    (1, 1, N_FIELDS) zero block) -- for kernels that hold the whole packed
+    table resident and fetch by id (render_pallas_resident.py).
     """
     n = p.pos.shape[0]
     if band_rows is None:
@@ -234,6 +239,14 @@ def bin_splats(
         got = seg_local[s][gidx] + jnp.int32(s * nseg)
         ids = jnp.where(in_seg, got, ids)
     valid = k[None, :] < tile_count[:, None]
+
+    if ids_only:
+        return TileBinning(
+            ids=ids,
+            tile_params=jnp.zeros((1, 1, N_FIELDS), jnp.float32),
+            count=tile_count,
+            n_dropped=(dropped_bbox + dropped_tile).astype(jnp.int32),
+        )
 
     # Pre-gather packed params row-major ((N, F) rows are contiguous 64-byte
     # fetches, far friendlier to the TPU gather unit than per-field column

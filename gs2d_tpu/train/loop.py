@@ -345,15 +345,20 @@ def _fused_step_body(cfg: SplatConfig, with_grad_mag: bool = False):
     ``with_grad_mag`` adds the (N,) |dL/d pos| densify signal to the aux."""
     from gs2d_tpu.ops import render_pallas as rp
     from gs2d_tpu.ops import render_pallas_flat as rpf
+    from gs2d_tpu.ops import render_pallas_resident as rpr
     from gs2d_tpu.ops import tiles as tl
 
     flat = rpf.use_flat(cfg)
+    resident = cfg.binning == "resident"
     k = None if flat else rp._max_per_tile(cfg)
 
     def one_step(state: TrainState, ref_chw: jax.Array):
         if flat:
             color, grads, n_dropped = rpf.l2_step_flat(
                 state.params, ref_chw, cfg)
+        elif resident:
+            color, grads, n_dropped = rpr.l2_step_resident(
+                state.params, ref_chw, cfg, k)
         else:
             binning = tl.bin_splats(state.params, cfg, k)
             color, grads = rp.l2_render_and_grads(

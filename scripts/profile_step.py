@@ -42,7 +42,10 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--scan", type=int, default=0)
     ap.add_argument("--binning", default="dense",
-                    choices=["dense", "flat"])
+                    choices=["dense", "flat", "resident"])
+    ap.add_argument("--tile-h", type=int, default=0,
+                    help="tile height (0 = measured-optimal policy, "
+                         "tiles.tune_tile_height; SplatConfig default is 8)")
     ap.add_argument("--flat-chunk", type=int, default=256)
     ap.add_argument("--size", default="",
                     help="HxW synthetic target instead of --image")
@@ -86,6 +89,8 @@ def main():
                       binning=args.binning, flat_chunk=args.flat_chunk,
                       max_splats_per_tile=(args.k if args.k > 0 else None),
                       **extra)
+    cfg = (tl.tune_tile_height(cfg) if args.tile_h == 0
+           else cfg.replace(tile_h=args.tile_h))
     state0 = init_train_state(cfg)
     if args.binning == "flat":
         cfg = rpf.tune_flat_config(state0.params, cfg)
@@ -124,19 +129,29 @@ def main():
         print(f"fwd+bwd:      {t_kern*1e3:8.2f} ms", flush=True)
     else:
         k = rp._max_per_tile(cfg)
-        bin_fn = jax.jit(lambda p: tl.bin_splats(p, cfg, k))
+        ids_only = args.binning == "resident"
+        bin_fn = jax.jit(
+            lambda p: tl.bin_splats(p, cfg, k, ids_only=ids_only))
         binning = bin_fn(state.params)
         print("max tile count:", int(jnp.max(binning.count)),
               "mean:", float(jnp.mean(binning.count.astype(jnp.float32))),
               "dropped:", int(binning.n_dropped), flush=True)
         t_bin = timeit(bin_fn, state.params, iters=args.iters)
         print(f"binning:      {t_bin*1e3:8.2f} ms", flush=True)
-        kern_fn = jax.jit(
-            lambda b: rp.l2_render_and_grads(b, refc, cfg.n_splats, cfg))
-        t_kern = timeit(kern_fn, binning, iters=args.iters)
+        if args.binning == "resident":
+            from gs2d_tpu.ops import render_pallas_resident as rpr
+
+            kern_fn = jax.jit(lambda p: rpr.l2_step_resident(
+                p, refc, cfg, k)[:2])
+            t_kern = timeit(kern_fn, state.params, iters=args.iters)
+        else:
+            kern_fn = jax.jit(
+                lambda b: rp.l2_render_and_grads(b, refc, cfg.n_splats, cfg))
+            t_kern = timeit(kern_fn, binning, iters=args.iters)
         print(f"fused kernel: {t_kern*1e3:8.2f} ms", flush=True)
 
-    grads = kern_fn(binning)[1]
+    grads = kern_fn(state.params)[1] if args.binning == "resident" \
+        else kern_fn(binning)[1]
     adam_fn = jax.jit(lambda s, g: adam_update(s.params, g, s.opt, cfg))
     t_adam = timeit(adam_fn, state, grads, iters=args.iters)
     print(f"adam:         {t_adam*1e3:8.2f} ms", flush=True)

@@ -155,7 +155,8 @@ def workload_scan_diff(name, w, h, n_splats, binning, image=None, iters=60):
                                      make_fit_scan_fused)
 
     ref = load_asset(image) if image else synthetic_target(h, w)
-    cfg = SplatConfig(width=w, height=h, n_splats=n_splats, binning=binning)
+    cfg = tl.tune_tile_height(
+        SplatConfig(width=w, height=h, n_splats=n_splats, binning=binning))
     state0 = init_train_state(cfg)
     if binning == "flat":
         cfg = rpf.tune_flat_config(state0.params, cfg)
@@ -206,7 +207,7 @@ def workload_scan_diff(name, w, h, n_splats, binning, image=None, iters=60):
     counts0 = jax.jit(lambda p: jnp.sum(bin_fn(p).count))(state0.params)
     counts1 = jax.jit(lambda p: jnp.sum(bin_fn(p).count))(state_end.params)
     pair_steps = 0.5 * (int(counts0) + int(counts1))
-    ops = pair_steps * (FWD_OPS + BWD_OPS) * 8 * 128
+    ops = pair_steps * (FWD_OPS + BWD_OPS) * cfg.tile_h * 128
     return {
         "workload": name,
         "pair_steps": int(pair_steps),
@@ -231,7 +232,8 @@ def workload(name, w, h, n_splats, binning, image=None, iters=10):
     from gs2d_tpu.train.loop import init_train_state
 
     ref = load_asset(image) if image else synthetic_target(h, w)
-    cfg = SplatConfig(width=w, height=h, n_splats=n_splats, binning=binning)
+    cfg = tl.tune_tile_height(
+        SplatConfig(width=w, height=h, n_splats=n_splats, binning=binning))
     state = init_train_state(cfg)
     if binning == "flat":
         cfg = rpf.tune_flat_config(state.params, cfg)
@@ -268,7 +270,7 @@ def workload(name, w, h, n_splats, binning, image=None, iters=10):
     sync(out[0])
     dt = (time.perf_counter() - t0) / iters
 
-    ops = pair_steps * (FWD_OPS + BWD_OPS) * 8 * 128  # vector-lane ops
+    ops = pair_steps * (FWD_OPS + BWD_OPS) * cfg.tile_h * 128  # lane ops
     return {
         "workload": name,
         "pair_steps": pair_steps,
