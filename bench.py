@@ -31,11 +31,16 @@ def main():
 
     ref = load_asset("squirrel_cls_mini.jpg")
     h, w = ref.shape[:2]
-    # tile_h=32: small images are grid-dispatch-bound; the measured sweep
-    # (BASELINE.md) shows 32-row tiles at 1.33x over the 8-row default on
-    # this workload (identical MSE trajectory, zero binning drops at K=256).
-    cfg = SplatConfig(width=w, height=h, n_splats=1024,
-                      max_splats_per_tile=256, tile_h=32)
+    # Production small-N shape (matches the CLI auto path): 32-row tiles
+    # (grid-dispatch-bound small image; measured sweep in BASELINE.md),
+    # resident binning (ids-only binning + whole-table SMEM kernel, no
+    # pregather/scatter -- 931 vs 755 it/s dense, BASELINE.md round 2),
+    # capacities tuned from the measured counts.
+    from gs2d_tpu.ops import tiles as tl
+
+    cfg = SplatConfig(width=w, height=h, n_splats=1024, tile_h=32,
+                      binning="resident")
+    cfg = tl.tune_tile_capacity(init_train_state(cfg).params, cfg)
 
     on_tpu = jax.default_backend() not in ("cpu",)
     state = init_train_state(cfg)

@@ -88,7 +88,7 @@ class SplatConfig:
     # "resident": ids-only binning + whole-table-in-SMEM fused kernel with
     #   in-kernel one-hot MXU gradient expansion (no pregather, no scatter)
     #   -- small N only (see ops/render_pallas_resident.py).
-    # "auto" picks by n_splats (see ops.render_pallas_flat.use_flat).
+    # "auto" picks by n_splats (see render_pallas_flat.resolve_binning).
     binning: str = "auto"
     # Flat-layout statics (set by tiles_flat.tune_flat_capacity / fit()):
     # chunk rows per kernel block, total flat rows, per-tile chunk cap.

@@ -38,24 +38,57 @@ from gs2d_tpu.ops.tiles_flat import FlatBinning
 from gs2d_tpu.params import GaussianParams
 
 
-# Population size above which "auto" binning picks the flat layout: the
-# dense path's padded pregather/scatter overhead grows with count skew and
-# population, the flat path's fixed overheads (fwd/bwd as separate calls)
-# shrink relatively. Measured on v5e with the exact-count binner
-# (BASELINE.md round 2): dense wins at 1k (2.2 vs 1.6-2.7 ms scanned),
-# flat wins from 10k up (14.0 vs 18.9 ms).
-FLAT_THRESHOLD = 8192
+# Binning-layout policy, measured on v5e at the production 32-row tiles
+# with tuned capacities, scanned full-step ms/iter (BASELINE.md round-2
+# crossover sweep):
+#
+#   N      dense   flat   resident
+#   1k     1.32    1.31   1.07      (268x213)
+#   2k     2.74    2.50   2.24      (535x426)
+#   4k     5.39    4.53   4.39
+#   8k    10.85    8.20   9.20
+#
+# resident wins up to 4k (no pregather/scatter; its one-hot expansion and
+# SMEM table grow with N), flat wins from there (the original 8192
+# threshold was measured at tile_h=8, where dense won below 10k). dense
+# remains the fallback where the resident table cannot fit SMEM and the
+# population is small, and under the sharded paths.
+FLAT_THRESHOLD = 2048
+RESIDENT_THRESHOLD = 4096
+# v5e SMEM is 1 MiB (measured via the allocator report, see
+# render_pallas_resident._TableView); leave headroom for count/scalars.
+_RESIDENT_SMEM_BUDGET = 800 * 1024
+
+
+def _resident_fits(cfg: SplatConfig) -> bool:
+    """Conservative SMEM estimate for the resident kernel's whole-array
+    inputs: the rank-1 packed table plus the (n_tiles, K) id matrix."""
+    k = cfg.max_splats_per_tile or min(max(256, cfg.n_splats // 4), 4096)
+    table = 4 * tl.N_FIELDS * (cfg.n_splats + 1)
+    ids = 4 * cfg.n_tiles_x * cfg.n_tiles_y * k
+    return table + ids <= _RESIDENT_SMEM_BUDGET
+
+
+def resolve_binning(cfg: SplatConfig) -> str:
+    """Resolve cfg.binning to a concrete layout ("auto" picks by the
+    measured population-size policy above)."""
+    if cfg.binning in ("dense", "flat", "resident"):
+        return cfg.binning
+    if cfg.binning != "auto":
+        raise ValueError(f"unknown binning {cfg.binning!r}")
+    if cfg.n_splats <= RESIDENT_THRESHOLD and _resident_fits(cfg):
+        return "resident"
+    if cfg.n_splats >= FLAT_THRESHOLD:
+        return "flat"
+    return "dense"
 
 
 def use_flat(cfg: SplatConfig) -> bool:
-    """Resolve cfg.binning ("auto" picks by population size)."""
-    if cfg.binning == "flat":
-        return True
-    if cfg.binning in ("dense", "resident"):
-        return False
-    if cfg.binning != "auto":
-        raise ValueError(f"unknown binning {cfg.binning!r}")
-    return cfg.n_splats >= FLAT_THRESHOLD
+    """True iff cfg resolves to the flat layout. The sharded paths (which
+    implement dense and flat but not resident) must not consult this for
+    the resident choice -- they pass binning="dense"/"flat"/"auto" and
+    "auto" resolves to flat only at flat scales, so they stay correct."""
+    return resolve_binning(cfg) == "flat"
 
 
 def tune_flat_config(p: GaussianParams, cfg: SplatConfig,

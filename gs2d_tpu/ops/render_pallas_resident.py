@@ -56,22 +56,31 @@ from gs2d_tpu.params import GaussianParams
 
 
 class _TableView:
-    """Adapter making (table_ref, ids_ref) index like the dense kernels'
+    """Adapter making (table_ref, ids_ref[t]) index like the dense kernels'
     (1, K, N_FIELDS) SMEM parameter block: view[0, k, i] reads field i of
-    the splat listed in slot k (ids pre-remapped, -1 -> benign row N)."""
+    the splat listed in slot k of tile ``t`` (ids pre-remapped, -1 -> the
+    benign row N).
 
-    def __init__(self, table_ref, ids_ref):
+    ``ids_ref`` is the whole (n_tiles, K) id matrix in SMEM; ``table_ref``
+    is the packed table FLATTENED to rank-1 ((N+1)*N_FIELDS,): SMEM pads a
+    rank-2 array's minor dimension to 128 elements (measured on v5e via
+    the allocator's 'window f32[2049,16] = u8[1052672]' report -- 8x waste
+    on 16-wide rows, which blew the 1 MiB SMEM at 2k splats), while a
+    rank-1 array packs densely."""
+
+    def __init__(self, table_ref, ids_ref, t):
         self._table = table_ref
         self._ids = ids_ref
+        self._t = t
 
     def __getitem__(self, idx):
         _, k, i = idx
-        return self._table[self._ids[0, k], i]
+        return self._table[self._ids[self._t, k] * tl.N_FIELDS + i]
 
     @property
     def shape(self):
         # (1, K, N_FIELDS), the dense block shape the callers introspect.
-        return (1,) + self._ids.shape[1:] + self._table.shape[1:]
+        return (1,) + self._ids.shape[1:] + (tl.N_FIELDS,)
 
 
 def _l2_resident_kernel(count_ref, table_ref, ids_ref, idc_ref, ref_ref,
@@ -84,8 +93,9 @@ def _l2_resident_kernel(count_ref, table_ref, ids_ref, idc_ref, ref_ref,
     th, tw = cfg.tile_h, cfg.tile_w
     i_t = pl.program_id(0)
     j_t = pl.program_id(1)
-    n_live = count_ref[i_t * cfg.n_tiles_x + j_t]
-    view = _TableView(table_ref, ids_ref)
+    t_flat = i_t * cfg.n_tiles_x + j_t
+    n_live = count_ref[t_flat]
+    view = _TableView(table_ref, ids_ref, t_flat)
     k_cap = ids_ref.shape[1]
     u = _unrolled(k_cap)
 
@@ -147,13 +157,14 @@ def _l2_resident_kernel(count_ref, table_ref, ids_ref, idc_ref, ref_ref,
 
 
 def resident_table(params: GaussianParams, cfg: SplatConfig) -> jax.Array:
-    """(N+1, N_FIELDS) packed parameter rows + the benign pad row."""
+    """((N+1) * N_FIELDS,) packed parameter rows + the benign pad row,
+    flattened to rank-1 for dense SMEM packing (see _TableView)."""
     rows = jnp.transpose(tl.packed_fields(params, cfg.splat_bounds))
     pad = jnp.zeros((1, tl.N_FIELDS), jnp.float32)
     pad = pad.at[0, jnp.array([tl.FIELD_A, tl.FIELD_D, tl.FIELD_SX,
                                tl.FIELD_SY, tl.FIELD_COS])].set(1.0)
     pad = pad.at[0, tl.FIELD_H].set(-1.0)
-    return jnp.concatenate([rows, pad], axis=0)
+    return jnp.concatenate([rows, pad], axis=0).reshape(-1)
 
 
 def l2_render_and_grads_resident(
@@ -187,8 +198,7 @@ def l2_render_and_grads_resident(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # count (whole)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # table (whole)
-            pl.BlockSpec((1, k), lambda i, j, gx=gx: (i * gx + j, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # ids (whole)
             pl.BlockSpec((1, k, 1), lambda i, j, gx=gx: (i * gx + j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, th, tw), lambda i, j: (0, 0, i, j),

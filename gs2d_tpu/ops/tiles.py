@@ -297,6 +297,33 @@ def tune_tile_height(cfg: SplatConfig) -> SplatConfig:
     return cfg.replace(tile_h=PRODUCTION_TILE_H)
 
 
+def tune_max_tiles_per_splat(
+    p: GaussianParams,
+    cfg: SplatConfig,
+    margin: float = 2.0,
+) -> SplatConfig:
+    """Size the per-splat tile cap from the *measured* bbox coverage.
+
+    ``max_tiles_per_splat`` sets the dense expansion's sort width
+    (N * cap keys every iteration); the static default (32) is ~5x the
+    real coverage at 32-row tiles, so the binning sort is mostly padding.
+    Take the max measured per-splat tile count * margin, round up to a
+    power of two (shape-stable across densify-block re-tunes), and clamp
+    to the whole grid. Splats grow during fitting; overflow is counted in
+    n_dropped (the tripwire on which fit() re-tunes), exactly like the
+    per-tile capacity.
+    """
+    def coverage(q):
+        tx0, tx1, ty0, ty1, offscreen = splat_tile_bbox(q, cfg)
+        return jnp.max(jnp.where(offscreen, 0,
+                                 (tx1 - tx0 + 1) * (ty1 - ty0 + 1)))
+
+    m = int(jax.device_get(jax.jit(coverage)(p)))
+    cap = 1 << max(2, (max(1, int(m * margin)) - 1).bit_length())
+    return cfg.replace(max_tiles_per_splat=min(
+        cap, cfg.n_tiles_x * cfg.n_tiles_y))
+
+
 def tune_tile_capacity(
     p: GaussianParams,
     cfg: SplatConfig,
@@ -313,7 +340,11 @@ def tune_tile_capacity(
     <= 256 stays a multiple of 64 (single fused kernel), above that a
     multiple of ``chunk`` (chunked kernel). Counts drift during fitting;
     overflow is caught by the n_dropped tripwire, on which fit() re-tunes.
+
+    Also right-sizes ``max_tiles_per_splat`` (the binning sort width) from
+    the same population (tune_max_tiles_per_splat).
     """
+    cfg = tune_max_tiles_per_splat(p, cfg)
     counts = jax.jit(
         lambda q: bin_splats(q, cfg, 1, counts_only=True))(p)
     m = int(jax.device_get(counts.max()))

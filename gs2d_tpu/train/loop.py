@@ -348,8 +348,9 @@ def _fused_step_body(cfg: SplatConfig, with_grad_mag: bool = False):
     from gs2d_tpu.ops import render_pallas_resident as rpr
     from gs2d_tpu.ops import tiles as tl
 
-    flat = rpf.use_flat(cfg)
-    resident = cfg.binning == "resident"
+    layout = rpf.resolve_binning(cfg)
+    flat = layout == "flat"
+    resident = layout == "resident"
     k = None if flat else rp._max_per_tile(cfg)
 
     def one_step(state: TrainState, ref_chw: jax.Array):
