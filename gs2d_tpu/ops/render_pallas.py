@@ -126,6 +126,74 @@ def _unrolled(n_k):
     return UNROLL if n_k % UNROLL == 0 else 1
 
 
+
+def identity_trans(cfg: SplatConfig, hp: int, wp: int, row0_px=0):
+    """Identity transmittance plane: 1 inside the image, 0 on padding.
+
+    Out-of-image pixels never composite (the kernels' ``inside`` mask), so
+    zero is exact there -- and it lets the saturation early-exit ignore
+    padding, which otherwise pins max(T) at 1 on boundary tiles forever."""
+    yy = row0_px + jnp.arange(hp, dtype=jnp.int32)[:, None]
+    xx = jnp.arange(wp, dtype=jnp.int32)[None, :]
+    return ((yy < cfg.height) & (xx < cfg.width)).astype(jnp.float32)
+
+
+SAT_CHECK_EVERY = 32  # splat-steps between saturation checks (divides K)
+
+
+def _saturating_loop(n_live, u, step, carry, get_t, mt, k_cap,
+                     saturating=True):
+    """Walk the splat list in blocks, exiting as soon as the tile is
+    saturated: once max(T) < mt every pixel fails the reference's
+    per-pixel early-out (main.cpp:518-521), so every remaining splat's
+    contribution -- composite updates and gradient columns alike -- is
+    exactly zero and skipping whole blocks is bitwise-exact.
+
+    The saturation test is a vector->scalar reduce the next block's issue
+    depends on (a pipeline bubble), so it runs once per SAT_CHECK_EVERY
+    splat-steps, not per unroll group. Blocks may overshoot ``n_live`` (up
+    to the block size); overshoot slots are the binning's benign padding
+    (zero contribution by construction), and never exceed ``k_cap``
+    because the block size divides it. ``step(k, carry) -> carry`` is one
+    splat-step; ``get_t(carry)`` reads the carry's transmittance plane.
+
+    ``saturating=False`` keeps the plain count-bounded walk: measured on
+    v5e, the exit wins ~10% on the chunked/flat kernels (deep lists, many
+    opaque tiles) but LOSES ~25% on the small fused kernels (mini-scale
+    tiles rarely saturate whole, so the while-loop structure is pure
+    overhead) -- see BASELINE.md."""
+    if not saturating:
+        def body_f(c, cur):
+            for i in range(u):
+                cur = step(c * u + i, cur)
+            return cur
+
+        return jax.lax.fori_loop(0, (n_live + u - 1) // u, body_f, carry)
+
+    g = SAT_CHECK_EVERY // u if k_cap % SAT_CHECK_EVERY == 0 else 1
+    blk = g * u
+
+    def cond(st):
+        c, cur = st
+        return (c * blk < n_live) & (jnp.max(get_t(cur)) >= mt)
+
+    def body(st):
+        c, cur = st
+
+        def inner(j, cur):
+            for i in range(u):
+                cur = step((c * g + j) * u + i, cur)
+            return cur
+
+        if g == 1:
+            cur = inner(0, cur)
+        else:
+            cur = jax.lax.fori_loop(0, g, inner, cur)
+        return c + 1, cur
+
+    return jax.lax.while_loop(cond, body, (jnp.int32(0), carry))[1]
+
+
 def _fwd_one(params_ref, k, fx, fy, xx, yy, inside, cfg, carry):
     cr_acc, cg_acc, cb_acc, T = carry
     live, alpha, _, _, _, s = _splat_terms(
@@ -142,16 +210,15 @@ def _forward_kernel(off_ref, count_ref, params_ref, color_ref, trans_ref,
     n_live = count_ref[pl.program_id(0) * cfg.n_tiles_x + pl.program_id(1)]
     u = _unrolled(params_ref.shape[1])
 
-    def body(c, carry):
-        for i in range(u):
-            carry = _fwd_one(params_ref, c * u + i, fx, fy, xx, yy, inside,
-                             cfg, carry)
-        return carry
+    def step(k, carry):
+        return _fwd_one(params_ref, k, fx, fy, xx, yy, inside, cfg, carry)
 
     zero = jnp.zeros((th, tw), jnp.float32)
-    cr_acc, cg_acc, cb_acc, T = jax.lax.fori_loop(
-        0, (n_live + u - 1) // u, body,
-        (zero, zero, zero, jnp.ones((th, tw), jnp.float32)))
+    cr_acc, cg_acc, cb_acc, T = _saturating_loop(
+        n_live, u, step,
+        (zero, zero, zero, inside.astype(jnp.float32)),
+        lambda c: c[3], jnp.float32(cfg.min_throughput),
+        params_ref.shape[1], saturating=False)
     color_ref[0, 0] = cr_acc
     color_ref[0, 1] = cg_acc
     color_ref[0, 2] = cb_acc
@@ -171,22 +238,20 @@ def _backward_kernel(off_ref, count_ref, params_ref, fin_ref, gc_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_k), 1)
     u = _unrolled(n_k)
 
-    def body(c, carry):
+    def step(k, carry):
         comp, gacc = carry
-        for i in range(u):
-            k = c * u + i
-            comp, col = _bwd_splat_step(params_ref, k, fx, fy, xx, yy, inside,
-                                        cfg, comp, fin_rgb, gc_rgb)
-            oh = (lane == k).astype(jnp.float32)
-            gacc = gacc + col * oh
-        return comp, gacc
+        comp, col = _bwd_splat_step(params_ref, k, fx, fy, xx, yy, inside,
+                                    cfg, comp, fin_rgb, gc_rgb)
+        oh = (lane == k).astype(jnp.float32)
+        return comp, gacc + col * oh
 
     # Replay carry entering this tile: under splat sharding this is the
     # ordered-monoid prefix of earlier shards; identity otherwise.
     comp0 = (c_in_ref[0, 0], c_in_ref[0, 1], c_in_ref[0, 2], t_in_ref[0])
-    _, gacc = jax.lax.fori_loop(
-        0, (n_live + u - 1) // u, body,
-        (comp0, jnp.zeros((9, n_k), jnp.float32)))
+    _, gacc = _saturating_loop(
+        n_live, u, step, (comp0, jnp.zeros((9, n_k), jnp.float32)),
+        lambda c: c[0][3], jnp.float32(cfg.min_throughput), n_k,
+        saturating=False)
     grads_ref[0] = jnp.concatenate(
         [gacc, jnp.zeros((N_GRAD_FIELDS - 9, n_k), jnp.float32)], axis=0)
 
@@ -279,20 +344,19 @@ def _fwd_chunked_kernel(off_ref, count_ref, params_ref, color_ref, trans_ref,
         color_ref[0, 0] = zero
         color_ref[0, 1] = zero
         color_ref[0, 2] = zero
-        trans_ref[0] = jnp.ones((th, tw), jnp.float32)
+        trans_ref[0] = inside.astype(jnp.float32)
 
     @pl.when(jnp.max(trans_ref[0]) >= jnp.float32(cfg.min_throughput))
     def _():
-        def body(c, carry):
-            for i in range(u):
-                carry = _fwd_one(params_ref, c * u + i, fx, fy, xx, yy,
-                                 inside, cfg, carry)
-            return carry
+        def step(k, carry):
+            return _fwd_one(params_ref, k, fx, fy, xx, yy, inside, cfg,
+                            carry)
 
         carry = (color_ref[0, 0], color_ref[0, 1], color_ref[0, 2],
                  trans_ref[0])
-        cr, cg, cb, T = jax.lax.fori_loop(
-            0, (n_here + u - 1) // u, body, carry)
+        cr, cg, cb, T = _saturating_loop(
+            n_here, u, step, carry, lambda c: c[3],
+            jnp.float32(cfg.min_throughput), kc)
         color_ref[0, 0] = cr
         color_ref[0, 1] = cg
         color_ref[0, 2] = cb
@@ -330,21 +394,17 @@ def _bwd_chunked_kernel(off_ref, count_ref, params_ref, fin_ref, gc_ref,
         fin_rgb = (fin_ref[0, 0], fin_ref[0, 1], fin_ref[0, 2])
         gc_rgb = (gc_ref[0, 0], gc_ref[0, 1], gc_ref[0, 2])
 
-        def body(c, carry):
+        def step(k, carry):
             comp, gacc = carry
-            for i in range(u):
-                k = c * u + i
-                comp, col = _bwd_splat_step(params_ref, k, fx, fy, xx, yy,
-                                            inside, cfg, comp, fin_rgb,
-                                            gc_rgb)
-                oh = (lane == k).astype(jnp.float32)
-                gacc = gacc + col * oh
-            return comp, gacc
+            comp, col = _bwd_splat_step(params_ref, k, fx, fy, xx, yy,
+                                        inside, cfg, comp, fin_rgb, gc_rgb)
+            oh = (lane == k).astype(jnp.float32)
+            return comp, gacc + col * oh
 
         comp = (c1_ref[0, 0], c1_ref[0, 1], c1_ref[0, 2], t1_ref[0])
-        (cr, cg, cb, T), gacc = jax.lax.fori_loop(
-            0, (n_here + u - 1) // u, body,
-            (comp, jnp.zeros((9, kc), jnp.float32)))
+        (cr, cg, cb, T), gacc = _saturating_loop(
+            n_here, u, step, (comp, jnp.zeros((9, kc), jnp.float32)),
+            lambda c: c[0][3], jnp.float32(cfg.min_throughput), kc)
         c1_ref[0, 0] = cr
         c1_ref[0, 1] = cg
         c1_ref[0, 2] = cb
@@ -470,13 +530,13 @@ def backward_tiled(
     gc = pad_chw(g_color)
     if carry_in is None:
         c_in = jnp.zeros((1, 3, hp, wp), jnp.float32)
-        t_in = jnp.ones((1, hp, wp), jnp.float32)
+        t_in = identity_trans(cfg, hp, wp, off[0])[None]
     elif banded:
         c_in = pad_chw(carry_in[0])
         t_in = carry_in[1][None]
     else:
         c_in = pad_chw(carry_in[0])
-        t_in = jnp.ones((1, hp, wp), jnp.float32).at[
+        t_in = jnp.zeros((1, hp, wp), jnp.float32).at[
             0, : cfg.height, : cfg.width].set(carry_in[1])
 
     if k > 256 and k % 256 == 0:
@@ -604,17 +664,16 @@ def _l2_fused_kernel(off_ref, count_ref, params_ref, ref_ref, color_ref,
 
     # ---- pass 1: forward composite --------------------------------------
     u = _unrolled(params_ref.shape[1])
+    mt = jnp.float32(cfg.min_throughput)
 
-    def fwd_body(c, carry):
-        for i in range(u):
-            carry = _fwd_one(params_ref, c * u + i, fx, fy, xx, yy, inside,
-                             cfg, carry)
-        return carry
+    def fwd_step(k, carry):
+        return _fwd_one(params_ref, k, fx, fy, xx, yy, inside, cfg, carry)
 
     zero = jnp.zeros((th, tw), jnp.float32)
-    fin_r, fin_g, fin_b, _ = jax.lax.fori_loop(
-        0, (n_live + u - 1) // u, fwd_body,
-        (zero, zero, zero, jnp.ones((th, tw), jnp.float32)))
+    t0 = inside.astype(jnp.float32)
+    fin_r, fin_g, fin_b, _ = _saturating_loop(
+        n_live, u, fwd_step, (zero, zero, zero, t0), lambda c: c[3], mt,
+        params_ref.shape[1], saturating=False)
     color_ref[0, 0] = fin_r
     color_ref[0, 1] = fin_g
     color_ref[0, 2] = fin_b
@@ -627,20 +686,17 @@ def _l2_fused_kernel(off_ref, count_ref, params_ref, ref_ref, color_ref,
     n_k = grads_ref.shape[2]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_k), 1)
 
-    def bwd_body(c, carry):
+    def bwd_step(k, carry):
         comp, gacc = carry
-        for i in range(u):
-            k = c * u + i
-            comp, col = _bwd_splat_step(params_ref, k, fx, fy, xx, yy, inside,
-                                        cfg, comp, fin_rgb, gc_rgb)
-            oh = (lane == k).astype(jnp.float32)
-            gacc = gacc + col * oh
-        return comp, gacc
+        comp, col = _bwd_splat_step(params_ref, k, fx, fy, xx, yy, inside,
+                                    cfg, comp, fin_rgb, gc_rgb)
+        oh = (lane == k).astype(jnp.float32)
+        return comp, gacc + col * oh
 
-    comp0 = (zero, zero, zero, jnp.ones((th, tw), jnp.float32))
-    _, gacc = jax.lax.fori_loop(
-        0, (n_live + u - 1) // u, bwd_body,
-        (comp0, jnp.zeros((9, n_k), jnp.float32)))
+    comp0 = (zero, zero, zero, t0)
+    _, gacc = _saturating_loop(
+        n_live, u, bwd_step, (comp0, jnp.zeros((9, n_k), jnp.float32)),
+        lambda c: c[0][3], mt, n_k, saturating=False)
     grads_ref[0] = jnp.concatenate(
         [gacc, jnp.zeros((N_GRAD_FIELDS - 9, n_k), jnp.float32)], axis=0)
 
@@ -768,14 +824,14 @@ def _l2_chunked_kernel(off_ref, count_ref, params_ref, ref_ref,
         color_ref[0, 0] = zero
         color_ref[0, 1] = zero
         color_ref[0, 2] = zero
-        t_ref[0] = jnp.ones((th, tw), jnp.float32)
+        t_ref[0] = inside.astype(jnp.float32)
 
     @pl.when((phase == 1) & (chunk == 0))
     def _():
         c1_ref[0, 0] = zero
         c1_ref[0, 1] = zero
         c1_ref[0, 2] = zero
-        t1_ref[0] = jnp.ones((th, tw), jnp.float32)
+        t1_ref[0] = inside.astype(jnp.float32)
 
     mt = jnp.float32(cfg.min_throughput)
 
@@ -787,16 +843,14 @@ def _l2_chunked_kernel(off_ref, count_ref, params_ref, ref_ref,
         # main.cpp:518-521). Whole remaining chunks are skipped.
         @pl.when(jnp.max(t_ref[0]) >= mt)
         def _():
-            def body(c, carry):
-                for i in range(u):
-                    carry = _fwd_one(params_ref, c * u + i, fx, fy, xx, yy,
-                                     inside, cfg, carry)
-                return carry
+            def step(k, carry):
+                return _fwd_one(params_ref, k, fx, fy, xx, yy, inside, cfg,
+                                carry)
 
             carry = (color_ref[0, 0], color_ref[0, 1], color_ref[0, 2],
                      t_ref[0])
-            cr, cg, cb, T = jax.lax.fori_loop(
-                0, (n_here + u - 1) // u, body, carry)
+            cr, cg, cb, T = _saturating_loop(
+                n_here, u, step, carry, lambda c: c[3], mt, kc)
             color_ref[0, 0] = cr
             color_ref[0, 1] = cg
             color_ref[0, 2] = cb
@@ -814,21 +868,18 @@ def _l2_chunked_kernel(off_ref, count_ref, params_ref, ref_ref,
             gc_rgb = (fin_rgb[0] - ref_ref[0, 0], fin_rgb[1] - ref_ref[0, 1],
                       fin_rgb[2] - ref_ref[0, 2])
 
-            def body(c, carry):
+            def step(k, carry):
                 comp, gacc = carry
-                for i in range(u):
-                    k = c * u + i
-                    comp, col = _bwd_splat_step(
-                        params_ref, k, fx, fy, xx, yy, inside, cfg, comp,
-                        fin_rgb, gc_rgb)
-                    oh = (lane == k).astype(jnp.float32)
-                    gacc = gacc + col * oh
-                return comp, gacc
+                comp, col = _bwd_splat_step(
+                    params_ref, k, fx, fy, xx, yy, inside, cfg, comp,
+                    fin_rgb, gc_rgb)
+                oh = (lane == k).astype(jnp.float32)
+                return comp, gacc + col * oh
 
             comp = (c1_ref[0, 0], c1_ref[0, 1], c1_ref[0, 2], t1_ref[0])
-            (cr, cg, cb, T), gacc = jax.lax.fori_loop(
-                0, (n_here + u - 1) // u, body,
-                (comp, jnp.zeros((9, kc), jnp.float32)))
+            (cr, cg, cb, T), gacc = _saturating_loop(
+                n_here, u, step, (comp, jnp.zeros((9, kc), jnp.float32)),
+                lambda c: c[0][3], mt, kc)
             c1_ref[0, 0] = cr
             c1_ref[0, 1] = cg
             c1_ref[0, 2] = cb

@@ -32,8 +32,9 @@ from jax.experimental.pallas import tpu as pltpu
 from gs2d_tpu.config import SplatConfig
 from gs2d_tpu.ops import tiles as tl
 from gs2d_tpu.ops.render_pallas import (N_GRAD_FIELDS, _bwd_splat_step,
-                                        _fwd_one, _should_interpret,
-                                        _tile_coords_grid, _unrolled)
+                                        _fwd_one, _saturating_loop,
+                                        _should_interpret, _tile_coords_grid,
+                                        _unrolled)
 from gs2d_tpu.ops.tiles_flat import FlatBinning
 from gs2d_tpu.params import GaussianParams
 
@@ -137,7 +138,7 @@ def _fwd_flat_kernel(off_ref, start_ref, count_ref, params_ref,
         color_ref[0, 0] = zero
         color_ref[0, 1] = zero
         color_ref[0, 2] = zero
-        trans_ref[0] = jnp.ones((th, tw), jnp.float32)
+        trans_ref[0] = inside.astype(jnp.float32)
 
     n_here = jnp.clip(count_ref[t] - c * kc, 0, kc)
     u = _unrolled(kc)
@@ -147,16 +148,14 @@ def _fwd_flat_kernel(off_ref, start_ref, count_ref, params_ref,
     # the vectorized main.cpp:518-521 skip) skips remaining chunks whole.
     @pl.when((n_here > 0) & (jnp.max(trans_ref[0]) >= mt))
     def _():
-        def body(i, carry):
-            for j in range(u):
-                carry = _fwd_one(params_ref, i * u + j, fx, fy, xx, yy,
-                                 inside, cfg, carry)
-            return carry
+        def step(k, carry):
+            return _fwd_one(params_ref, k, fx, fy, xx, yy, inside, cfg,
+                            carry)
 
         carry = (color_ref[0, 0], color_ref[0, 1], color_ref[0, 2],
                  trans_ref[0])
-        cr, cg, cb, T = jax.lax.fori_loop(
-            0, (n_here + u - 1) // u, body, carry)
+        cr, cg, cb, T = _saturating_loop(
+            n_here, u, step, carry, lambda c: c[3], mt, kc)
         color_ref[0, 0] = cr
         color_ref[0, 1] = cg
         color_ref[0, 2] = cb
@@ -197,21 +196,18 @@ def _bwd_flat_kernel(off_ref, start_ref, count_ref, params_ref, fin_ref,
             fin_rgb = (fin_ref[0, 0], fin_ref[0, 1], fin_ref[0, 2])
             gc_rgb = (gc_ref[0, 0], gc_ref[0, 1], gc_ref[0, 2])
 
-            def body(i, carry):
+            def step(k, carry):
                 comp, gacc = carry
-                for j in range(u):
-                    k = i * u + j
-                    comp, col = _bwd_splat_step(
-                        params_ref, k, fx, fy, xx, yy, inside, cfg, comp,
-                        fin_rgb, gc_rgb)
-                    oh = (lane == k).astype(jnp.float32)
-                    gacc = gacc + col * oh
-                return comp, gacc
+                comp, col = _bwd_splat_step(
+                    params_ref, k, fx, fy, xx, yy, inside, cfg, comp,
+                    fin_rgb, gc_rgb)
+                oh = (lane == k).astype(jnp.float32)
+                return comp, gacc + col * oh
 
             comp0 = (c1_ref[0, 0], c1_ref[0, 1], c1_ref[0, 2], t1_ref[0])
-            (cr, cg, cb, T), gacc = jax.lax.fori_loop(
-                0, (n_here + u - 1) // u, body,
-                (comp0, jnp.zeros((9, kc), jnp.float32)))
+            (cr, cg, cb, T), gacc = _saturating_loop(
+                n_here, u, step, (comp0, jnp.zeros((9, kc), jnp.float32)),
+                lambda c: c[0][3], mt, kc)
             c1_ref[0, 0] = cr
             c1_ref[0, 1] = cg
             c1_ref[0, 2] = cb
@@ -318,8 +314,10 @@ def backward_flat(
     fin = chw(final_color)
     gc = chw(g_color)
     if carry_in is None:
+        from gs2d_tpu.ops.render_pallas import identity_trans
+
         c_in = jnp.zeros((1, 3, hp, wp), jnp.float32)
-        t_in = jnp.ones((1, hp, wp), jnp.float32)
+        t_in = identity_trans(cfg, hp, wp, off[0])[None]
     else:
         c_in = chw(carry_in[0])
         t_in = carry_in[1][None]

@@ -50,8 +50,8 @@ from gs2d_tpu.ops import tiles as tl
 from gs2d_tpu.ops.render_pallas import (G_CB, G_CG, G_CR, G_OP, G_PX, G_PY,
                                         G_ROT, G_SX, G_SY, N_GRAD_FIELDS,
                                         _bwd_splat_step, _fwd_one,
-                                        _should_interpret, _tile_coords,
-                                        _unrolled)
+                                        _saturating_loop, _should_interpret,
+                                        _tile_coords, _unrolled)
 from gs2d_tpu.params import GaussianParams
 
 
@@ -104,16 +104,16 @@ def _l2_resident_kernel(count_ref, table_ref, ids_ref, idc_ref, ref_ref,
         grads_ref[...] = jnp.zeros_like(grads_ref)
 
     # ---- pass 1: forward composite --------------------------------------
-    def fwd_body(c, carry):
-        for i in range(u):
-            carry = _fwd_one(view, c * u + i, fx, fy, xx, yy, inside, cfg,
-                             carry)
-        return carry
+    mt = jnp.float32(cfg.min_throughput)
+
+    def fwd_step(k, carry):
+        return _fwd_one(view, k, fx, fy, xx, yy, inside, cfg, carry)
 
     zero = jnp.zeros((th, tw), jnp.float32)
-    fin_r, fin_g, fin_b, _ = jax.lax.fori_loop(
-        0, (n_live + u - 1) // u, fwd_body,
-        (zero, zero, zero, jnp.ones((th, tw), jnp.float32)))
+    t0 = inside.astype(jnp.float32)
+    fin_r, fin_g, fin_b, _ = _saturating_loop(
+        n_live, u, fwd_step, (zero, zero, zero, t0), lambda c: c[3], mt,
+        k_cap, saturating=False)
     color_ref[0, 0] = fin_r
     color_ref[0, 1] = fin_g
     color_ref[0, 2] = fin_b
@@ -125,20 +125,17 @@ def _l2_resident_kernel(count_ref, table_ref, ids_ref, idc_ref, ref_ref,
     # ---- pass 2: backward replay ----------------------------------------
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, k_cap), 1)
 
-    def bwd_body(c, carry):
+    def bwd_step(k, carry):
         comp, gacc = carry
-        for i in range(u):
-            k = c * u + i
-            comp, col = _bwd_splat_step(view, k, fx, fy, xx, yy, inside,
-                                        cfg, comp, fin_rgb, gc_rgb)
-            oh = (lane == k).astype(jnp.float32)
-            gacc = gacc + col * oh
-        return comp, gacc
+        comp, col = _bwd_splat_step(view, k, fx, fy, xx, yy, inside,
+                                    cfg, comp, fin_rgb, gc_rgb)
+        oh = (lane == k).astype(jnp.float32)
+        return comp, gacc + col * oh
 
-    comp0 = (zero, zero, zero, jnp.ones((th, tw), jnp.float32))
-    _, gacc = jax.lax.fori_loop(
-        0, (n_live + u - 1) // u, bwd_body,
-        (comp0, jnp.zeros((9, k_cap), jnp.float32)))
+    comp0 = (zero, zero, zero, t0)
+    _, gacc = _saturating_loop(
+        n_live, u, bwd_step, (comp0, jnp.zeros((9, k_cap), jnp.float32)),
+        lambda c: c[0][3], mt, k_cap, saturating=False)
 
     # Expand the per-slot columns onto the splat axis on the MXU: slot k of
     # this tile contributes to exactly splat ids[k] (a splat appears at most

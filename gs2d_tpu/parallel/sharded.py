@@ -477,6 +477,14 @@ def fit_sharded(
             p0 = jax.tree.map(lambda x: x[0], state.params)
             cfg = rpf.tune_flat_config(p0, cfg,
                                        n_bands=mesh.shape[TILE_AXIS])
+        elif not rpf.use_flat(cfg) and cfg.max_splats_per_tile is None:
+            # Dense band path: measure the real counts instead of the
+            # heuristic (same full-population upper-bound argument), and
+            # right-size the binning sort width (tune_max_tiles_per_splat).
+            from gs2d_tpu.ops import tiles as _tl
+
+            p0 = jax.tree.map(lambda x: x[0], state.params)
+            cfg = _tl.tune_tile_capacity(p0, cfg)
     step, shardings = make_sharded_train_step(cfg, mesh, combine=combine,
                                               renderer=renderer,
                                               overlap_chunks=overlap_chunks)

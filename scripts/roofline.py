@@ -168,9 +168,10 @@ def workload_scan_diff(name, w, h, n_splats, binning, image=None, iters=60):
     else:
         cfg = tl.tune_tile_capacity(state0.params, cfg)
         k = rp._max_per_tile(cfg)
+        ids_only = rpf.resolve_binning(cfg) == "resident"
 
         def bin_fn(p):
-            return tl.bin_splats(p, cfg, k)
+            return tl.bin_splats(p, cfg, k, ids_only=ids_only)
 
     refc = rp.pad_ref_chw(jnp.asarray(ref), cfg)
 
@@ -302,7 +303,9 @@ def main():
     # Small workloads (kernel < ~20 ms): per-call timing is tunnel-floor
     # polluted; use the scan-differential measurement. Large ones: direct.
     scan_cases = [
-        ("mini 1k", 268, 213, 1024, "dense", "squirrel_cls_mini.jpg"),
+        ("mini 1k resident", 268, 213, 1024, "resident",
+         "squirrel_cls_mini.jpg"),
+        ("mini 1k dense", 268, 213, 1024, "dense", "squirrel_cls_mini.jpg"),
         ("10k", 535, 426, 10240, "dense", "squirrel_cls.jpg"),
         ("10k flat", 535, 426, 10240, "flat", "squirrel_cls.jpg"),
     ]
