@@ -202,9 +202,14 @@ def main(argv=None) -> int:
     start_iter = 0
     if args.resume and ck is not None:
         step, state = ck.restore_latest(state)
-        if step is not None:
-            start_iter = step
-            print(f"resumed from checkpoint step {step}")
+        if step is None:
+            # Silently starting over would discard the run the user asked
+            # to continue (and overwrite its artifacts at the end).
+            print(f"error: --resume found no checkpoint under "
+                  f"{os.path.join(args.out, 'checkpoints')}")
+            return 2
+        start_iter = step
+        print(f"resumed from checkpoint step {step}")
 
     if args.mesh:
         from gs2d_tpu.parallel.mesh import make_mesh

@@ -139,6 +139,16 @@ def identity_trans(cfg: SplatConfig, hp: int, wp: int, row0_px=0):
 
 
 SAT_CHECK_EVERY = 32  # splat-steps between saturation checks (divides K)
+# Population size from which the chunked/flat kernels use the in-loop
+# saturating walk. Measured on v5e (scanned ms/iter, BASELINE.md): the walk
+# wins at deep lists (10k flat 10.4 -> 8.65, 100k 113.7 -> 78.8) but loses
+# at shallow ones (2k flat 2.50 -> 2.68, 4k 4.53 -> 4.84) where tiles
+# rarely saturate and the loop-carried vector->scalar reduce only stalls.
+SAT_WALK_THRESHOLD = 8192
+
+
+def _sat_walk(cfg: SplatConfig) -> bool:
+    return cfg.n_splats >= SAT_WALK_THRESHOLD
 
 
 def _saturating_loop(n_live, u, step, carry, get_t, mt, k_cap,
@@ -356,7 +366,7 @@ def _fwd_chunked_kernel(off_ref, count_ref, params_ref, color_ref, trans_ref,
                  trans_ref[0])
         cr, cg, cb, T = _saturating_loop(
             n_here, u, step, carry, lambda c: c[3],
-            jnp.float32(cfg.min_throughput), kc)
+            jnp.float32(cfg.min_throughput), kc, saturating=_sat_walk(cfg))
         color_ref[0, 0] = cr
         color_ref[0, 1] = cg
         color_ref[0, 2] = cb
@@ -404,7 +414,8 @@ def _bwd_chunked_kernel(off_ref, count_ref, params_ref, fin_ref, gc_ref,
         comp = (c1_ref[0, 0], c1_ref[0, 1], c1_ref[0, 2], t1_ref[0])
         (cr, cg, cb, T), gacc = _saturating_loop(
             n_here, u, step, (comp, jnp.zeros((9, kc), jnp.float32)),
-            lambda c: c[0][3], jnp.float32(cfg.min_throughput), kc)
+            lambda c: c[0][3], jnp.float32(cfg.min_throughput), kc,
+            saturating=_sat_walk(cfg))
         c1_ref[0, 0] = cr
         c1_ref[0, 1] = cg
         c1_ref[0, 2] = cb
@@ -850,7 +861,8 @@ def _l2_chunked_kernel(off_ref, count_ref, params_ref, ref_ref,
             carry = (color_ref[0, 0], color_ref[0, 1], color_ref[0, 2],
                      t_ref[0])
             cr, cg, cb, T = _saturating_loop(
-                n_here, u, step, carry, lambda c: c[3], mt, kc)
+                n_here, u, step, carry, lambda c: c[3], mt, kc,
+                saturating=_sat_walk(cfg))
             color_ref[0, 0] = cr
             color_ref[0, 1] = cg
             color_ref[0, 2] = cb
@@ -879,7 +891,7 @@ def _l2_chunked_kernel(off_ref, count_ref, params_ref, ref_ref,
             comp = (c1_ref[0, 0], c1_ref[0, 1], c1_ref[0, 2], t1_ref[0])
             (cr, cg, cb, T), gacc = _saturating_loop(
                 n_here, u, step, (comp, jnp.zeros((9, kc), jnp.float32)),
-                lambda c: c[0][3], mt, kc)
+                lambda c: c[0][3], mt, kc, saturating=_sat_walk(cfg))
             c1_ref[0, 0] = cr
             c1_ref[0, 1] = cg
             c1_ref[0, 2] = cb

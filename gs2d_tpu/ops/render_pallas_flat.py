@@ -32,9 +32,9 @@ from jax.experimental.pallas import tpu as pltpu
 from gs2d_tpu.config import SplatConfig
 from gs2d_tpu.ops import tiles as tl
 from gs2d_tpu.ops.render_pallas import (N_GRAD_FIELDS, _bwd_splat_step,
-                                        _fwd_one, _saturating_loop,
-                                        _should_interpret, _tile_coords_grid,
-                                        _unrolled)
+                                        _fwd_one, _sat_walk,
+                                        _saturating_loop, _should_interpret,
+                                        _tile_coords_grid, _unrolled)
 from gs2d_tpu.ops.tiles_flat import FlatBinning
 from gs2d_tpu.params import GaussianParams
 
@@ -155,7 +155,8 @@ def _fwd_flat_kernel(off_ref, start_ref, count_ref, params_ref,
         carry = (color_ref[0, 0], color_ref[0, 1], color_ref[0, 2],
                  trans_ref[0])
         cr, cg, cb, T = _saturating_loop(
-            n_here, u, step, carry, lambda c: c[3], mt, kc)
+            n_here, u, step, carry, lambda c: c[3], mt, kc,
+            saturating=_sat_walk(cfg))
         color_ref[0, 0] = cr
         color_ref[0, 1] = cg
         color_ref[0, 2] = cb
@@ -207,7 +208,7 @@ def _bwd_flat_kernel(off_ref, start_ref, count_ref, params_ref, fin_ref,
             comp0 = (c1_ref[0, 0], c1_ref[0, 1], c1_ref[0, 2], t1_ref[0])
             (cr, cg, cb, T), gacc = _saturating_loop(
                 n_here, u, step, (comp0, jnp.zeros((9, kc), jnp.float32)),
-                lambda c: c[0][3], mt, kc)
+                lambda c: c[0][3], mt, kc, saturating=_sat_walk(cfg))
             c1_ref[0, 0] = cr
             c1_ref[0, 1] = cg
             c1_ref[0, 2] = cb

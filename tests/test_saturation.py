@@ -33,7 +33,9 @@ def opaque_stack(n=192):
     )
 
 
-def test_saturated_tile_bitwise_flat_vs_scan():
+def test_saturated_tile_bitwise_flat_vs_scan(monkeypatch):
+    # Force the saturating walk on (production gates it to deep lists).
+    monkeypatch.setattr(rp, "SAT_WALK_THRESHOLD", 1)
     cfg = SplatConfig(width=W, height=H, n_splats=192, tile_h=32,
                       binning="flat")
     p = opaque_stack()
@@ -60,9 +62,10 @@ def test_saturated_tile_bitwise_flat_vs_scan():
     assert np.all(np.asarray(g.opacity)[-32:] == 0.0)
 
 
-def test_saturated_tile_chunked_vs_plain_dense():
+def test_saturated_tile_chunked_vs_plain_dense(monkeypatch):
     """Chunked dense kernel (saturating walk) == non-chunked (plain walk),
     bitwise, on a fully saturated tile."""
+    monkeypatch.setattr(rp, "SAT_WALK_THRESHOLD", 1)
     cfg = SplatConfig(width=W, height=H, n_splats=192, tile_h=32,
                       max_splats_per_tile=512)  # K>256 -> chunked
     p = opaque_stack()
