@@ -147,3 +147,31 @@ class TestSegmentedSortFallback:
         np.testing.assert_array_equal(np.asarray(a.count), np.asarray(b.count))
         np.testing.assert_array_equal(
             np.asarray(a.tile_params), np.asarray(b.tile_params))
+
+
+class TestBinningPolicy:
+    """resolve_binning: the measured auto policy (BASELINE.md crossover)."""
+
+    def test_auto_policy(self):
+        from gs2d_tpu.config import SplatConfig
+        from gs2d_tpu.ops.render_pallas_flat import resolve_binning
+
+        mk = lambda n, **kw: SplatConfig(width=535, height=426, n_splats=n,
+                                         tile_h=32, **kw)
+        assert resolve_binning(mk(1024)) == "resident"
+        assert resolve_binning(mk(4096)) == "resident"
+        assert resolve_binning(mk(8192)) == "flat"
+        assert resolve_binning(mk(1024, binning="dense")) == "dense"
+        assert resolve_binning(mk(1024, binning="flat")) == "flat"
+        # Big image: the ids matrix overflows the SMEM budget -> not resident.
+        big = SplatConfig(width=3840, height=2160, n_splats=4096, tile_h=32)
+        assert resolve_binning(big) != "resident"
+
+    def test_unknown_binning_raises(self):
+        import pytest
+
+        from gs2d_tpu.config import SplatConfig
+        from gs2d_tpu.ops.render_pallas_flat import resolve_binning
+
+        with pytest.raises(ValueError):
+            resolve_binning(SplatConfig(binning="bogus"))
