@@ -182,7 +182,10 @@ def main(argv=None) -> int:
         cfg = cfg.replace(tile_h=args.tile_h)
     else:
         from gs2d_tpu.ops.tiles import tune_tile_height
-        cfg = tune_tile_height(cfg)
+        from gs2d_tpu.params import init_params
+        # Depth-aware policy: the deterministic init population lets the
+        # policy measure mean pair depth (deep lists prefer 64-row tiles).
+        cfg = tune_tile_height(cfg, init_params(cfg))
     refj = jnp.asarray(ref)
 
     on_tpu = jax.default_backend() not in ("cpu",)

@@ -275,9 +275,17 @@ def bin_splats(
 
 
 PRODUCTION_TILE_H = 32
+DEEP_TILE_H = 64
+# Mean (splat, tile) pairs per 32-row tile above which 64-row tiles win:
+# at extreme depth the saturating walk amortizes the bigger tile's masked
+# rows over far fewer, deeper lists (1M sigma-init, mean 6534 pairs/tile:
+# 665 -> 499 ms/iter at tile_h=64), while shallow workloads lose to the
+# boundary waste (100k, mean 639: 78.8 -> 92.6 ms). Measured on v5e.
+DEEP_TILE_THRESHOLD = 2500.0
 
 
-def tune_tile_height(cfg: SplatConfig) -> SplatConfig:
+def tune_tile_height(cfg: SplatConfig,
+                     p: GaussianParams | None = None) -> SplatConfig:
     """Tile-height policy, measured on v5e (BASELINE.md tile-height sweep).
 
     32-row tiles beat the 8-row default at EVERY measured scale:
@@ -288,13 +296,27 @@ def tune_tile_height(cfg: SplatConfig) -> SplatConfig:
     (its dominant O(pairs) pregather/scatter cost) roughly halves (4M:
     15.5M -> 9.1M rows). The extra masked boundary rows are absorbed by
     the saturation early-exit and deeper ILP per block. tile_h=16 LOSES
-    (10k flat 18.4 vs 13.9 ms; 100k 137 vs 132) -- 2-vreg blocks break the
-    kernels' unroll geometry -- and 64 loses to boundary waste + per-tile
-    capacity pressure. The 8-row default is kept for SplatConfig (tests
-    pin bitwise goldens to it); production entries (CLI, bench) call this.
-    Callers honoring an explicit user tile_h should skip it.
+    at every unroll factor (2/4/8 swept: 10.7/9.6/9.4 vs 8.65 at 32) and
+    64 loses at ordinary depth -- but WINS 1.33x at extreme depth (see
+    DEEP_TILE_THRESHOLD), so pass the population ``p`` when available to
+    let the policy measure the mean pair depth. The 8-row default is kept
+    for SplatConfig (tests pin bitwise goldens to it); production entries
+    (CLI, bench) call this. Callers honoring an explicit user tile_h
+    should skip it.
     """
-    return cfg.replace(tile_h=PRODUCTION_TILE_H)
+    cfg32 = cfg.replace(tile_h=PRODUCTION_TILE_H)
+    if p is None:
+        return cfg32
+
+    def mean_depth(q):
+        tx0, tx1, ty0, ty1, off = splat_tile_bbox(q, cfg32)
+        pairs = jnp.sum(jnp.where(off, 0, (tx1 - tx0 + 1) * (ty1 - ty0 + 1)))
+        return pairs / jnp.float32(cfg32.n_tiles_x * cfg32.n_tiles_y)
+
+    depth = float(jax.device_get(jax.jit(mean_depth)(p)))
+    if depth > DEEP_TILE_THRESHOLD:
+        return cfg.replace(tile_h=DEEP_TILE_H)
+    return cfg32
 
 
 def tune_max_tiles_per_splat(

@@ -89,9 +89,9 @@ def main():
                       binning=args.binning, flat_chunk=args.flat_chunk,
                       max_splats_per_tile=(args.k if args.k > 0 else None),
                       **extra)
-    cfg = (tl.tune_tile_height(cfg) if args.tile_h == 0
+    state0 = init_train_state(cfg)  # init is tile_h-independent
+    cfg = (tl.tune_tile_height(cfg, state0.params) if args.tile_h == 0
            else cfg.replace(tile_h=args.tile_h))
-    state0 = init_train_state(cfg)
     if args.binning == "flat":
         cfg = rpf.tune_flat_config(state0.params, cfg)
         print(f"config: {w}x{h}, {args.splats} splats, flat "
