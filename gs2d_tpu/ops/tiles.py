@@ -276,12 +276,15 @@ def bin_splats(
 
 PRODUCTION_TILE_H = 32
 DEEP_TILE_H = 64
-# Mean (splat, tile) pairs per 32-row tile above which 64-row tiles win:
+DEEPER_TILE_H = 128
+# Mean (splat, tile) pairs per 32-row tile above which taller tiles win:
 # at extreme depth the saturating walk amortizes the bigger tile's masked
 # rows over far fewer, deeper lists (1M sigma-init, mean 6534 pairs/tile:
-# 665 -> 499 ms/iter at tile_h=64), while shallow workloads lose to the
-# boundary waste (100k, mean 639: 78.8 -> 92.6 ms). Measured on v5e.
+# 665 ms/iter at tile_h=32 -> 499 at 64 -> 470 at 128), while shallow
+# workloads lose to the boundary waste (100k, mean 639: 78.8 -> 92.6 ms
+# at 64). Thresholds interpolate the measured points. Measured on v5e.
 DEEP_TILE_THRESHOLD = 2500.0
+DEEPER_TILE_THRESHOLD = 5000.0
 
 
 def tune_tile_height(cfg: SplatConfig,
@@ -314,6 +317,8 @@ def tune_tile_height(cfg: SplatConfig,
         return pairs / jnp.float32(cfg32.n_tiles_x * cfg32.n_tiles_y)
 
     depth = float(jax.device_get(jax.jit(mean_depth)(p)))
+    if depth > DEEPER_TILE_THRESHOLD:
+        return cfg.replace(tile_h=DEEPER_TILE_H)
     if depth > DEEP_TILE_THRESHOLD:
         return cfg.replace(tile_h=DEEP_TILE_H)
     return cfg32

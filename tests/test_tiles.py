@@ -182,13 +182,13 @@ class TestTileHeightPolicy:
 
     def test_depth_aware(self):
         from gs2d_tpu.config import SplatConfig
-        from gs2d_tpu.ops.tiles import (DEEP_TILE_H, PRODUCTION_TILE_H,
+        from gs2d_tpu.ops.tiles import (DEEPER_TILE_H, PRODUCTION_TILE_H,
                                         tune_tile_height)
         from gs2d_tpu.params import init_params
 
         deep = SplatConfig(width=1920, height=1080, n_splats=1048576)
         assert tune_tile_height(
-            deep, init_params(deep)).tile_h == DEEP_TILE_H
+            deep, init_params(deep)).tile_h == DEEPER_TILE_H
         shallow = SplatConfig(width=268, height=213, n_splats=1024)
         assert tune_tile_height(
             shallow, init_params(shallow)).tile_h == PRODUCTION_TILE_H
