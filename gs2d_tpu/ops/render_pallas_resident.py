@@ -83,13 +83,14 @@ class _TableView:
         return (1,) + self._ids.shape[1:] + (tl.N_FIELDS,)
 
 
-def _l2_resident_kernel(count_ref, table_ref, ids_ref, idc_ref, ref_ref,
-                        color_ref, grads_ref, *, cfg: SplatConfig,
+def _l2_resident_kernel(off_ref, count_ref, table_ref, ids_ref, idc_ref,
+                        ref_ref, color_ref, grads_ref, *, cfg: SplatConfig,
                         n_pad: int):
     """Fused L2 forward + cotangent + backward with a resident parameter
     table (SMEM) and a resident gradient accumulator (VMEM, revisited by
-    every grid step). Mirrors render_pallas._l2_fused_kernel otherwise."""
-    yy, xx, fy, fx, inside = _tile_coords(cfg)
+    every grid step). Mirrors render_pallas._l2_fused_kernel otherwise;
+    ``off_ref`` holds the band's first global pixel row (0 unbanded)."""
+    yy, xx, fy, fx, inside = _tile_coords(cfg, off_ref[0])
     th, tw = cfg.tile_h, cfg.tile_w
     i_t = pl.program_id(0)
     j_t = pl.program_id(1)
@@ -164,6 +165,25 @@ def resident_table(params: GaussianParams, cfg: SplatConfig) -> jax.Array:
     return jnp.concatenate([rows, pad], axis=0).reshape(-1)
 
 
+def _unpack_grads(grads16: jax.Array, n_splats: int) -> GaussianParams:
+    """(16, n_pad) resident gradient rows -> GaussianParams pytree."""
+    g = grads16[:, :n_splats]
+    return GaussianParams(
+        pos=jnp.stack([g[G_PX], g[G_PY]], axis=-1),
+        sx=g[G_SX], sy=g[G_SY], rot=g[G_ROT],
+        color=jnp.stack([g[G_CR], g[G_CG], g[G_CB]], axis=-1),
+        opacity=g[G_OP],
+    )
+
+
+def _remap_ids(binning: tl.TileBinning, n_splats: int):
+    """ids with -1 remapped to the benign table row N, plus the per-tile
+    column form the one-hot expansion consumes."""
+    ids_s = jnp.where(binning.ids >= 0, binning.ids,
+                      jnp.int32(n_splats)).astype(jnp.int32)
+    return ids_s, ids_s[:, :, None]
+
+
 def l2_render_and_grads_resident(
     binning: tl.TileBinning,
     table: jax.Array,
@@ -171,28 +191,33 @@ def l2_render_and_grads_resident(
     n_splats: int,
     cfg: SplatConfig,
     interpret: bool | None = None,
+    band_row0=0,
+    band_rows: int | None = None,
 ) -> Tuple[jax.Array, GaussianParams]:
     """Resident-table fused L2 train path (same contract as
-    render_pallas.l2_render_and_grads, full image only).
+    render_pallas.l2_render_and_grads; with band args the binning and
+    target cover one band of tile rows and the returned color is the raw
+    padded band).
 
     ``binning`` may be ids-only (bin_splats(ids_only=True)); ``table`` is
     resident_table(params, cfg)."""
     if interpret is None:
         interpret = _should_interpret()
     k = binning.ids.shape[1]
-    gy, gx = cfg.n_tiles_y, cfg.n_tiles_x
+    banded = band_rows is not None
+    gy = band_rows if banded else cfg.n_tiles_y
+    gx = cfg.n_tiles_x
     th, tw = cfg.tile_h, cfg.tile_w
     hp = gy * th
     n_pad = -(-n_splats // 128) * 128
-
-    ids_s = jnp.where(binning.ids >= 0, binning.ids,
-                      jnp.int32(n_splats)).astype(jnp.int32)
-    idc = ids_s[:, :, None]  # (n_tiles, K, 1): ids as per-tile columns
+    off = jnp.asarray([jnp.asarray(band_row0, jnp.int32) * th], jnp.int32)
+    ids_s, idc = _remap_ids(binning, n_splats)
 
     color, grads16 = pl.pallas_call(
         functools.partial(_l2_resident_kernel, cfg=cfg, n_pad=n_pad),
         grid=(gy, gx),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # band offset
             pl.BlockSpec(memory_space=pltpu.SMEM),   # count (whole)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # table (whole)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # ids (whole)
@@ -212,17 +237,218 @@ def l2_render_and_grads_resident(
             jax.ShapeDtypeStruct((N_GRAD_FIELDS, n_pad), jnp.float32),
         ],
         interpret=interpret,
-    )(binning.count, table, ids_s, idc, ref_chw)
+    )(off, binning.count, table, ids_s, idc, ref_chw)
 
-    g = grads16[:, :n_splats]
-    grads = GaussianParams(
-        pos=jnp.stack([g[G_PX], g[G_PY]], axis=-1),
-        sx=g[G_SX], sy=g[G_SY], rot=g[G_ROT],
-        color=jnp.stack([g[G_CR], g[G_CG], g[G_CB]], axis=-1),
-        opacity=g[G_OP],
-    )
-    color = jnp.transpose(color[0], (1, 2, 0))[: cfg.height, : cfg.width]
+    grads = _unpack_grads(grads16, n_splats)
+    color = jnp.transpose(color[0], (1, 2, 0))
+    if not banded:
+        color = color[: cfg.height, : cfg.width]
     return color, grads
+
+
+def _fwd_resident_kernel(off_ref, count_ref, table_ref, ids_ref,
+                         color_ref, trans_ref, *, cfg: SplatConfig):
+    """Modular resident forward: per-shard partial (C, T) for the ordered
+    monoid (render_pallas._forward_kernel with the table view)."""
+    yy, xx, fy, fx, inside = _tile_coords(cfg, off_ref[0])
+    th, tw = cfg.tile_h, cfg.tile_w
+    i_t = pl.program_id(0)
+    j_t = pl.program_id(1)
+    t_flat = i_t * cfg.n_tiles_x + j_t
+    n_live = count_ref[t_flat]
+    view = _TableView(table_ref, ids_ref, t_flat)
+    u = _unrolled(ids_ref.shape[1])
+
+    def step(k, carry):
+        return _fwd_one(view, k, fx, fy, xx, yy, inside, cfg, carry)
+
+    zero = jnp.zeros((th, tw), jnp.float32)
+    cr, cg, cb, T = _saturating_loop(
+        n_live, u, step, (zero, zero, zero, inside.astype(jnp.float32)),
+        lambda c: c[3], jnp.float32(cfg.min_throughput),
+        ids_ref.shape[1], saturating=False)
+    color_ref[0, 0] = cr
+    color_ref[0, 1] = cg
+    color_ref[0, 2] = cb
+    trans_ref[0] = T
+
+
+def _bwd_resident_kernel(off_ref, count_ref, table_ref, ids_ref, idc_ref,
+                         fin_ref, gc_ref, c_in_ref, t_in_ref, grads_ref,
+                         *, cfg: SplatConfig, n_pad: int):
+    """Modular resident backward: replay from the ordered-monoid prefix
+    (c_in, t_in), gradients expanded onto the splat axis in-kernel (the
+    one-hot MXU matmul) into the resident (16, n_pad) accumulator."""
+    yy, xx, fy, fx, inside = _tile_coords(cfg, off_ref[0])
+    i_t = pl.program_id(0)
+    j_t = pl.program_id(1)
+    t_flat = i_t * cfg.n_tiles_x + j_t
+    n_live = count_ref[t_flat]
+    view = _TableView(table_ref, ids_ref, t_flat)
+    k_cap = ids_ref.shape[1]
+    u = _unrolled(k_cap)
+
+    @pl.when((i_t == 0) & (j_t == 0))
+    def _():
+        grads_ref[...] = jnp.zeros_like(grads_ref)
+
+    fin_rgb = (fin_ref[0, 0], fin_ref[0, 1], fin_ref[0, 2])
+    gc_rgb = (gc_ref[0, 0], gc_ref[0, 1], gc_ref[0, 2])
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, k_cap), 1)
+
+    def step(k, carry):
+        comp, gacc = carry
+        comp, col = _bwd_splat_step(view, k, fx, fy, xx, yy, inside,
+                                    cfg, comp, fin_rgb, gc_rgb)
+        oh = (lane == k).astype(jnp.float32)
+        return comp, gacc + col * oh
+
+    comp0 = (c_in_ref[0, 0], c_in_ref[0, 1], c_in_ref[0, 2], t_in_ref[0])
+    _, gacc = _saturating_loop(
+        n_live, u, step, (comp0, jnp.zeros((9, k_cap), jnp.float32)),
+        lambda c: c[0][3], jnp.float32(cfg.min_throughput), k_cap,
+        saturating=False)
+
+    onehot = (idc_ref[0] == jax.lax.broadcasted_iota(
+        jnp.int32, (k_cap, n_pad), 1)).astype(jnp.float32)
+    contrib = jax.lax.dot_general(
+        gacc, onehot, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    grads_ref[...] = grads_ref[...] + jnp.concatenate(
+        [contrib, jnp.zeros((N_GRAD_FIELDS - 9, n_pad), jnp.float32)],
+        axis=0)
+
+
+def forward_resident(
+    binning: tl.TileBinning,
+    table: jax.Array,
+    n_splats: int,
+    cfg: SplatConfig,
+    interpret: bool | None = None,
+    band_row0=0,
+    band_rows: int | None = None,
+    crop: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Resident forward pass; same contract as render_pallas.forward_tiled
+    (band args give the raw padded band; crop applies only unbanded)."""
+    if interpret is None:
+        interpret = _should_interpret()
+    banded = band_rows is not None
+    gy = band_rows if banded else cfg.n_tiles_y
+    gx = cfg.n_tiles_x
+    th, tw = cfg.tile_h, cfg.tile_w
+    hp = gy * th
+    off = jnp.asarray([jnp.asarray(band_row0, jnp.int32) * th], jnp.int32)
+    ids_s, _ = _remap_ids(binning, n_splats)
+
+    color, trans = pl.pallas_call(
+        functools.partial(_fwd_resident_kernel, cfg=cfg),
+        grid=(gy, gx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, th, tw), lambda i, j: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 3, hp, cfg.padded_width), jnp.float32),
+            jax.ShapeDtypeStruct((1, hp, cfg.padded_width), jnp.float32),
+        ],
+        interpret=interpret,
+    )(off, binning.count, table, ids_s)
+    color = jnp.transpose(color[0], (1, 2, 0))
+    trans = trans[0]
+    if crop and not banded:
+        return (color[: cfg.height, : cfg.width],
+                trans[: cfg.height, : cfg.width])
+    return color, trans
+
+
+def backward_resident(
+    binning: tl.TileBinning,
+    table: jax.Array,
+    final_color: jax.Array,
+    g_color: jax.Array,
+    n_splats: int,
+    cfg: SplatConfig,
+    carry_in=None,
+    interpret: bool | None = None,
+    band_row0=0,
+    band_rows: int | None = None,
+) -> GaussianParams:
+    """Resident backward pass; same contract as
+    render_pallas.backward_tiled (carry_in = the ordered-monoid (C, T)
+    prefix entering this splat shard; identity when None)."""
+    if interpret is None:
+        interpret = _should_interpret()
+    from gs2d_tpu.ops.render_pallas import identity_trans
+
+    k = binning.ids.shape[1]
+    banded = band_rows is not None
+    gy = band_rows if banded else cfg.n_tiles_y
+    gx = cfg.n_tiles_x
+    th, tw = cfg.tile_h, cfg.tile_w
+    hp = gy * th
+    wp = cfg.padded_width
+    n_pad = -(-n_splats // 128) * 128
+    off = jnp.asarray([jnp.asarray(band_row0, jnp.int32) * th], jnp.int32)
+    ids_s, idc = _remap_ids(binning, n_splats)
+
+    def pad_chw(img):
+        if banded:  # already padded band-shaped
+            return jnp.transpose(img, (2, 0, 1))[None]
+        out = jnp.zeros((1, 3, hp, wp), jnp.float32)
+        return out.at[0, :, : cfg.height, : cfg.width].set(
+            jnp.transpose(img, (2, 0, 1)))
+
+    fin = pad_chw(final_color)
+    gc = pad_chw(g_color)
+    if carry_in is None:
+        c_in = jnp.zeros((1, 3, hp, wp), jnp.float32)
+        t_in = identity_trans(cfg, hp, wp, off[0])[None]
+    elif banded:
+        c_in = pad_chw(carry_in[0])
+        t_in = carry_in[1][None]
+    else:
+        c_in = pad_chw(carry_in[0])
+        t_in = jnp.zeros((1, hp, wp), jnp.float32).at[
+            0, : cfg.height, : cfg.width].set(carry_in[1])
+
+    def tile4(i, j):
+        return (0, 0, i, j)
+
+    def tile3(i, j):
+        return (0, i, j)
+
+    grads16 = pl.pallas_call(
+        functools.partial(_bwd_resident_kernel, cfg=cfg, n_pad=n_pad),
+        grid=(gy, gx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, k, 1), lambda i, j, gx=gx: (i * gx + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, th, tw), tile4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, th, tw), tile4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, th, tw), tile4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), tile3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N_GRAD_FIELDS, n_pad), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N_GRAD_FIELDS, n_pad), jnp.float32),
+        interpret=interpret,
+    )(off, binning.count, table, ids_s, idc, fin, gc, c_in, t_in)
+
+    return _unpack_grads(grads16, n_splats)
 
 
 def l2_step_resident(params: GaussianParams, ref_chw: jax.Array,

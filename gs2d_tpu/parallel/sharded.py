@@ -185,15 +185,19 @@ def _pallas_band_step(params, ref_band, cfg_shard, n_splat, monoid,
     """
     from gs2d_tpu.ops import render_pallas as rp
     from gs2d_tpu.ops import render_pallas_flat as rpf
+    from gs2d_tpu.ops import render_pallas_resident as rpr
     from gs2d_tpu.ops import tiles as tlmod
     from gs2d_tpu.ops import tiles_flat as tlf
 
     cfg = cfg_shard
-    flat = rpf.use_flat(cfg)
+    layout = rpf.resolve_binning(cfg)
+    flat = layout == "flat"
+    resident = layout == "resident"
     gx = cfg.n_tiles_x
     th = cfg.tile_h
     n_local = params.pos.shape[0]
     band_r0 = jax.lax.axis_index(TILE_AXIS) * band_tile_rows
+    table = None
     if flat:
         binning = tlf.bin_splats_flat(
             params, cfg, cfg.flat_capacity, kc=cfg.flat_chunk,
@@ -202,7 +206,12 @@ def _pallas_band_step(params, ref_band, cfg_shard, n_splat, monoid,
     else:
         k = max_k or rp._max_per_tile(cfg)
         binning = tlmod.bin_splats(params, cfg, k, band_row0=band_r0,
-                                   band_rows=band_tile_rows)
+                                   band_rows=band_tile_rows,
+                                   ids_only=resident)
+        if resident:
+            # Per-shard table: each device holds only its own splats, so
+            # the SMEM bound is the LOCAL population, not the global one.
+            table = rpr.resident_table(params, cfg)
     rows_per = band_tile_rows // overlap_chunks
     n_band_tiles = band_tile_rows * gx
 
@@ -223,7 +232,9 @@ def _pallas_band_step(params, ref_band, cfg_shard, n_splat, monoid,
                 rows=binning.rows, start=binning.start[t0:t1],
                 count=binning.count[t0:t1], n_dropped=binning.n_dropped)
         return tlmod.TileBinning(
-            ids=binning.ids[t0:t1], tile_params=binning.tile_params[t0:t1],
+            ids=binning.ids[t0:t1],
+            tile_params=(binning.tile_params if resident
+                         else binning.tile_params[t0:t1]),
             count=binning.count[t0:t1], n_dropped=binning.n_dropped)
 
     def sub_px(sub):
@@ -239,6 +250,10 @@ def _pallas_band_step(params, ref_band, cfg_shard, n_splat, monoid,
                 C_sub, g_sub = rpf.l2_render_and_grads_flat(
                     sub_binning(sub), ref_chw, n_local, cfg,
                     cfg.flat_chunk, cfg.flat_max_chunks,
+                    band_row0=band_r0 + sub * rows_per, band_rows=rows_per)
+            elif resident:
+                C_sub, g_sub = rpr.l2_render_and_grads_resident(
+                    sub_binning(sub), table, ref_chw, n_local, cfg,
                     band_row0=band_r0 + sub * rows_per, band_rows=rows_per)
             else:
                 C_sub, g_sub = rp.l2_render_and_grads(
@@ -257,6 +272,10 @@ def _pallas_band_step(params, ref_band, cfg_shard, n_splat, monoid,
         C_loc, T_loc = rpf.forward_flat(
             binning, cfg, cfg.flat_chunk, cfg.flat_max_chunks,
             band_row0=band_r0, band_rows=band_tile_rows)
+    elif resident:
+        C_loc, T_loc = rpr.forward_resident(
+            binning, table, n_local, cfg, band_row0=band_r0,
+            band_rows=band_tile_rows, crop=False)
     else:
         C_loc, T_loc = rp.forward_tiled(binning, cfg, band_row0=band_r0,
                                         band_rows=band_tile_rows, crop=False)
@@ -269,6 +288,11 @@ def _pallas_band_step(params, ref_band, cfg_shard, n_splat, monoid,
             g_sub = rpf.backward_flat(
                 sub_binning(sub), fin[px], gC[px], n_local, cfg,
                 cfg.flat_chunk, cfg.flat_max_chunks,
+                carry_in=(C_in[px], T_in[px]),
+                band_row0=band_r0 + sub * rows_per, band_rows=rows_per)
+        elif resident:
+            g_sub = rpr.backward_resident(
+                sub_binning(sub), table, fin[px], gC[px], n_local, cfg,
                 carry_in=(C_in[px], T_in[px]),
                 band_row0=band_r0 + sub * rows_per, band_rows=rows_per)
         else:

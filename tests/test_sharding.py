@@ -260,3 +260,54 @@ class TestShardedPallasRenderer:
                         jax.tree.leaves(out[2][0].params)):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=1e-5, atol=1e-4)
+
+
+class TestShardedResidentRenderer:
+    """Sharded pallas with the RESIDENT layout (per-shard SMEM table,
+    in-kernel one-hot gradient expansion) == the scan path on the same
+    mesh. With splat shards the monoid combine sits between
+    forward_resident and backward_resident."""
+
+    @pytest.mark.parametrize("axes", [
+        {"splat": 1}, {"splat": 2}, {"tile": 2}, {"tile": 2, "splat": 2},
+    ], ids=lambda a: "x".join(f"{k}{v}" for k, v in a.items()))
+    def test_resident_matches_scan(self, axes):
+        cfg = cfg_for(32, min_throughput=0.0, max_splats_per_tile=32,
+                      binning="resident")
+        ref = jnp.asarray(synthetic_target(H, W))
+        mesh = make_mesh(**axes)
+        refs = pad_ref_batch(ref[None], cfg)
+        out = {}
+        for renderer in ("scan", "pallas"):
+            step, sh = make_sharded_train_step(cfg, mesh, renderer=renderer)
+            state = jax.device_put(init_batched_state(cfg, 1), sh["state"])
+            r = jax.device_put(refs, sh["ref"])
+            new_state, aux = step(state, r)
+            out[renderer] = (new_state, float(aux.mse[0]))
+        assert np.isclose(out["scan"][1], out["pallas"][1], rtol=1e-5)
+        for x, y in zip(jax.tree.leaves(out["scan"][0].params),
+                        jax.tree.leaves(out["pallas"][0].params)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-4, atol=2e-3)
+
+    def test_resident_overlap_chunks(self):
+        """Chunked backward (overlapped grad psum) == single-chunk, on the
+        resident path."""
+        cfg = cfg_for(32, min_throughput=0.0, max_splats_per_tile=32,
+                      binning="resident")
+        ref = jnp.asarray(synthetic_target(H, W))
+        mesh = make_mesh(tile=2, splat=2)
+        refs = pad_ref_batch(ref[None], cfg)
+        out = {}
+        for chunks in (1, 2):
+            step, sh = make_sharded_train_step(cfg, mesh, renderer="pallas",
+                                               overlap_chunks=chunks)
+            state = jax.device_put(init_batched_state(cfg, 1), sh["state"])
+            r = jax.device_put(refs, sh["ref"])
+            new_state, aux = step(state, r)
+            out[chunks] = (new_state, float(aux.mse[0]))
+        assert np.isclose(out[1][1], out[2][1], rtol=1e-6)
+        for x, y in zip(jax.tree.leaves(out[1][0].params),
+                        jax.tree.leaves(out[2][0].params)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5, atol=1e-4)
