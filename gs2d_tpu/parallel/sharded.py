@@ -178,10 +178,13 @@ def _pallas_band_step(params, ref_band, cfg_shard, n_splat, monoid,
     (C, T) monoid combine must run between forward and backward, so the
     split kernels are used.
 
-    Binning layout follows ``cfg.binning``: dense (n_tiles, K) lists, or
-    the flat block-aligned layout (ops/tiles_flat.py) for large local
-    populations -- each device flat-bins its own band (capacity sized per
-    band via ``tune_flat_config(n_bands=...)``).
+    Binning layout follows ``cfg.binning`` (resolve_binning): dense
+    (n_tiles, K) lists; the flat block-aligned layout (ops/tiles_flat.py)
+    for large local populations -- each device flat-bins its own band
+    (capacity sized per band via ``tune_flat_config(n_bands=...)``); or
+    the resident layout (ops/render_pallas_resident.py) -- ids-only
+    binning plus a per-shard SMEM table, with carry-fed resident
+    forward/backward around the monoid combine.
     """
     from gs2d_tpu.ops import render_pallas as rp
     from gs2d_tpu.ops import render_pallas_flat as rpf
