@@ -543,22 +543,32 @@ def make_batched_train_step_fused(cfg: SplatConfig):
     State is batched (B, N, ...) (see parallel.sharded.init_batched_state);
     targets are pre-padded (B, 1, 3, Hp, Wp). Each image owns an independent
     splat population (the data-parallel axis collapsed onto one chip --
-    vmap turns the batch into an extra kernel grid dimension).
+    vmap turns the batch into an extra kernel grid dimension). Binning
+    follows resolve_binning (resident at small N, dense otherwise; the
+    flat layout does not support vmap's extra grid dimension).
     """
     from gs2d_tpu.ops import render_pallas as rp
+    from gs2d_tpu.ops import render_pallas_flat as rpf
+    from gs2d_tpu.ops import render_pallas_resident as rpr
     from gs2d_tpu.ops import tiles as tl
 
     k = rp._max_per_tile(cfg)
+    resident = rpf.resolve_binning(cfg) == "resident"
 
     def one_image(params, opt, ref_chw):
-        binning = tl.bin_splats(params, cfg, k)
-        color, grads = rp.l2_render_and_grads(
-            binning, ref_chw, cfg.n_splats, cfg)
+        if resident:
+            color, grads, n_dropped = rpr.l2_step_resident(
+                params, ref_chw, cfg, k)
+        else:
+            binning = tl.bin_splats(params, cfg, k)
+            color, grads = rp.l2_render_and_grads(
+                binning, ref_chw, cfg.n_splats, cfg)
+            n_dropped = binning.n_dropped
         new_params, new_opt = adam_update(params, grads, opt, cfg)
         ref_crop = jnp.transpose(
             ref_chw[0], (1, 2, 0))[: cfg.height, : cfg.width]
         mse = mse_255(color, ref_crop)
-        return new_params, new_opt, mse, binning.n_dropped
+        return new_params, new_opt, mse, n_dropped
 
     @jax.jit
     def train_step(state: TrainState, refs_chw: jax.Array):
