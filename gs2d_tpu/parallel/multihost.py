@@ -34,8 +34,12 @@ def initialize_cluster(
 ) -> None:
     """Initialize jax.distributed from args or standard env vars
     (COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID); no-op when
-    single-process or when the TPU runtime auto-detects (GKE/TPU VM)."""
-    if jax.process_count() > 1:
+    single-process or when the TPU runtime auto-detects (GKE/TPU VM).
+
+    Must run before anything touches the XLA backend (jax.devices etc.) --
+    so the already-initialized check uses jax.distributed.is_initialized,
+    NOT jax.process_count (which initializes the backend)."""
+    if jax.distributed.is_initialized():
         return  # already initialized by the runtime
     addr = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
     if addr is None and num_processes is None:
@@ -46,6 +50,38 @@ def initialize_cluster(
         or int(os.environ.get("NUM_PROCESSES", "1")),
         process_id=process_id or int(os.environ.get("PROCESS_ID", "0")),
     )
+
+
+def put_global(tree, shardings):
+    """Place a host-local pytree onto (possibly process-spanning) shardings.
+
+    ``jax.device_put`` requires fully-addressable shardings, so it breaks
+    under multi-controller runs; this builds each global jax.Array from the
+    host value via ``make_array_from_callback`` (every process must hold the
+    same full value -- true for deterministic init and broadcast-identical
+    inputs). Works single-process too (then it is just device_put)."""
+    import numpy as np
+
+    def put(x, s):
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, s,
+                                            lambda idx: arr[idx])
+
+    return jax.tree.map(put, tree, shardings)
+
+
+def fetch_replicated(x):
+    """Host value of a (possibly non-addressable) global array.
+
+    Fully-addressable arrays convert directly; process-spanning ones are
+    allgathered (every process gets the full value)."""
+    import numpy as np
+
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
 def default_pod_mesh(data: int = 1, tile: Optional[int] = None,
