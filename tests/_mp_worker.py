@@ -14,6 +14,7 @@ import os
 import sys
 
 port, pid, ckdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+combine = sys.argv[4] if len(sys.argv) > 4 else "fold"
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 os.environ.setdefault("JAX_CPU_COLLECTIVES_IMPLEMENTATION", "gloo")
@@ -48,7 +49,7 @@ cfg = SplatConfig(width=W, height=H, n_splats=32, tile_h=8,
                   min_throughput=0.0, max_splats_per_tile=32)
 mesh = make_mesh(tile=2, splat=2)
 step, sh = make_sharded_train_step(cfg, mesh, renderer="pallas",
-                                   overlap_chunks=2)
+                                   overlap_chunks=2, combine=combine)
 
 ref = synthetic_target(H, W, seed=0)
 refs = pad_ref_batch(jnp.asarray(ref)[None], cfg)
@@ -79,4 +80,4 @@ restored = ck.restore(1, new_state)
 np.testing.assert_array_equal(fetch_replicated(restored.params.pos),
                               fetch_replicated(new_state.params.pos))
 
-print(f"MP_WORKER_OK p{pid} mse={mse:.4f}", flush=True)
+print(f"MP_WORKER_OK p{pid} combine={combine} mse={mse:.4f}", flush=True)

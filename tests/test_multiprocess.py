@@ -14,6 +14,8 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 
 def _free_port() -> int:
     s = socket.socket()
@@ -23,7 +25,10 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_sharded_step(tmp_path):
+@pytest.mark.parametrize("combine", ["fold", "scan"])
+def test_two_process_sharded_step(tmp_path, combine):
+    """fold = all_gather prefix; scan = log-depth ppermute ring -- both
+    cross PROCESS boundaries here."""
     port = _free_port()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {k: v for k, v in os.environ.items()
@@ -31,7 +36,8 @@ def test_two_process_sharded_step(tmp_path):
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     worker = os.path.join(repo, "tests", "_mp_worker.py")
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(port), str(pid), str(tmp_path / "ck")],
+        [sys.executable, worker, str(port), str(pid), str(tmp_path / "ck"),
+         combine],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True) for pid in (0, 1)]
     outs = []
