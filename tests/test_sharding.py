@@ -311,3 +311,35 @@ class TestShardedResidentRenderer:
                         jax.tree.leaves(out[2][0].params)):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=1e-5, atol=1e-4)
+
+
+class TestShardedSaturatingWalk:
+    def test_flat_banded_saturating_matches_scan(self, monkeypatch):
+        """The in-loop saturating walk under tile-axis band sharding
+        (production gates it to n_splats >= 8192; forced on here). Only
+        tile sharding: with splat shards the threshold is auto-disabled,
+        which makes the walk a structural no-op."""
+        from gs2d_tpu.ops import render_pallas as rp
+        from gs2d_tpu.ops import render_pallas_flat as rpf
+
+        monkeypatch.setattr(rp, "SAT_WALK_THRESHOLD", 1)
+        # Opaque population so bands actually saturate mid-list.
+        cfg = cfg_for(48, binning="flat", flat_chunk=64)
+        cfg_flat = rpf.tune_flat_config(init_params(cfg), cfg, n_bands=2)
+        ref = jnp.asarray(synthetic_target(H, W))
+        mesh = make_mesh(tile=2)
+        refs = pad_ref_batch(ref[None], cfg_flat)
+        out = {}
+        for renderer in ("scan", "pallas"):
+            step, sh = make_sharded_train_step(cfg_flat, mesh,
+                                               renderer=renderer)
+            state = jax.device_put(init_batched_state(cfg_flat, 1),
+                                   sh["state"])
+            r = jax.device_put(refs, sh["ref"])
+            new_state, aux = step(state, r)
+            out[renderer] = (new_state, float(aux.mse[0]))
+        assert np.isclose(out["scan"][1], out["pallas"][1], rtol=1e-5)
+        for x, y in zip(jax.tree.leaves(out["scan"][0].params),
+                        jax.tree.leaves(out["pallas"][0].params)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-4, atol=2e-3)
