@@ -16,8 +16,32 @@ import time
 CPP_BASELINE_ITERS_PER_S = 39.7  # BASELINE.md, measured 2026-08-17
 
 
+def _tpu_alive(timeout_s: int = 180) -> bool:
+    """Probe the tunneled TPU in a subprocess: a wedged terminal makes
+    jax.devices() hang forever (seen after an aborted huge-kernel compile,
+    CLAUDE.md), which would otherwise hang the whole benchmark."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True).returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    import os
+
+    if not _tpu_alive():
+        print("WARNING: TPU terminal unreachable; falling back to CPU "
+              "(timings are NOT the TPU headline)", file=sys.stderr)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     sys.path.insert(0, ".")
@@ -72,10 +96,13 @@ def main():
         dt = (time.perf_counter() - t0) / iters
 
     iters_per_s = 1.0 / dt
+    unit = "iterations/s (fwd+bwd+adam, 268x213, 1024 splats)"
+    if not on_tpu:
+        unit += " [CPU FALLBACK - TPU terminal unreachable; NOT the headline]"
     print(json.dumps({
         "metric": "train_iters_per_s_mini_1024_splats",
         "value": round(iters_per_s, 3),
-        "unit": "iterations/s (fwd+bwd+adam, 268x213, 1024 splats)",
+        "unit": unit,
         "vs_baseline": round(iters_per_s / CPP_BASELINE_ITERS_PER_S, 3),
     }))
 
