@@ -1,0 +1,109 @@
+"""Property-based fuzzing of the binning layouts.
+
+For random populations/configs, both binning layouts must produce exactly
+the brute-force (splat, tile) incidence set, in ascending splat order per
+tile -- the compositing-order contract (Form.pdf p2) that every kernel
+relies on. Complements the fixed-seed tests with adversarial shapes
+(off-screen splats, degenerate scales, single-pixel coverage, rotations).
+"""
+
+import jax
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gs2d_tpu.config import SplatConfig
+from gs2d_tpu.ops import geometry
+from gs2d_tpu.ops import tiles as tl
+from gs2d_tpu.ops import tiles_flat as tlf
+from gs2d_tpu.ops.numerics import trunc_to_int
+from gs2d_tpu.params import GaussianParams
+
+
+def brute_force_incidence(p: GaussianParams, cfg: SplatConfig):
+    """Reference (splat -> sorted tile list) map straight from the bbox
+    definition (main.cpp:488-491 trunc semantics), NumPy only."""
+    s11, s12, s22 = geometry.cov_of(p.sx, p.sy, p.rot)
+    a, b, d, det = geometry.inv_cov_of(s11, s12, s22)
+    hy = np.asarray(geometry.bbox_half_height(a, det, cfg.splat_bounds))
+    hx = np.asarray(geometry.bbox_half_width(d, det, cfg.splat_bounds))
+    px = np.asarray(p.pos[:, 0])
+    py = np.asarray(p.pos[:, 1])
+    x0 = np.asarray(trunc_to_int(px - hx))
+    x1 = np.asarray(trunc_to_int(px + hx))
+    y0 = np.asarray(trunc_to_int(py - hy))
+    y1 = np.asarray(trunc_to_int(py + hy))
+    out = {}
+    for i in range(len(px)):
+        if x1[i] < 0 or x0[i] >= cfg.width or y1[i] < 0 or y0[i] >= cfg.height:
+            continue
+        tx0 = min(max(x0[i] // cfg.tile_w, 0), cfg.n_tiles_x - 1)
+        tx1 = min(max(x1[i] // cfg.tile_w, 0), cfg.n_tiles_x - 1)
+        ty0 = min(max(y0[i] // cfg.tile_h, 0), cfg.n_tiles_y - 1)
+        ty1 = min(max(y1[i] // cfg.tile_h, 0), cfg.n_tiles_y - 1)
+        for ty in range(ty0, ty1 + 1):
+            for tx in range(tx0, tx1 + 1):
+                out.setdefault(ty * cfg.n_tiles_x + tx, []).append(i)
+    return out
+
+
+def splats_strategy(n):
+    f32 = st.floats(min_value=-20.0, max_value=160.0, width=32,
+                    allow_nan=False)
+    scale = st.floats(min_value=1.0, max_value=64.0, width=32,
+                      allow_nan=False)
+    rot = st.floats(min_value=0.0, max_value=3.140625, width=32,
+                    allow_nan=False)
+    return st.tuples(
+        st.lists(st.tuples(f32, f32), min_size=n, max_size=n),
+        st.lists(scale, min_size=n, max_size=n),
+        st.lists(scale, min_size=n, max_size=n),
+        st.lists(rot, min_size=n, max_size=n),
+    )
+
+
+def make_params(data, n):
+    pos, sx, sy, rot = data
+    return GaussianParams(
+        pos=np.asarray(pos, np.float32),
+        sx=np.asarray(sx, np.float32),
+        sy=np.asarray(sy, np.float32),
+        rot=np.asarray(rot, np.float32),
+        color=np.full((n, 3), 0.5, np.float32),
+        opacity=np.ones((n,), np.float32),
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(splats_strategy(12))
+def test_dense_binning_matches_brute_force(data):
+    n = 12
+    cfg = SplatConfig(width=96, height=72, n_splats=n, tile_h=32)
+    p = make_params(data, n)
+    want = brute_force_incidence(p, cfg)
+    b = jax.jit(lambda q: tl.bin_splats(q, cfg, 16, max_tiles_per_splat=32))(p)
+    ids = np.asarray(b.ids)
+    count = np.asarray(b.count)
+    assert int(b.n_dropped) == 0
+    for t in range(ids.shape[0]):
+        got = [int(x) for x in ids[t, : count[t]]]
+        assert got == want.get(t, []), f"tile {t}"
+
+
+@settings(max_examples=25, deadline=None)
+@given(splats_strategy(12))
+def test_flat_binning_matches_brute_force(data):
+    n = 12
+    cfg = SplatConfig(width=96, height=72, n_splats=n, tile_h=32)
+    p = make_params(data, n)
+    want = brute_force_incidence(p, cfg)
+    kc = 16
+    b = jax.jit(lambda q: tlf.bin_splats_flat(q, cfg, 64 * kc, kc=kc))(p)
+    ids = np.asarray(b.ids)
+    start = np.asarray(b.start)
+    count = np.asarray(b.count)
+    assert int(b.n_dropped) == 0
+    n_tiles = cfg.n_tiles_x * cfg.n_tiles_y
+    for t in range(n_tiles):
+        got = [int(x) for x in ids[start[t]: start[t] + count[t]]]
+        assert got == want.get(t, []), f"tile {t}"
