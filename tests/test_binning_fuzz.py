@@ -107,3 +107,29 @@ def test_flat_binning_matches_brute_force(data):
     for t in range(n_tiles):
         got = [int(x) for x in ids[start[t]: start[t] + count[t]]]
         assert got == want.get(t, []), f"tile {t}"
+
+
+@settings(max_examples=6, deadline=None)
+@given(splats_strategy(8))
+def test_fused_kernel_matches_scan_fuzz(data):
+    """Random populations through the fused Pallas kernel (interpret) vs
+    the scan renderer: forward allclose-at-fp32, gradients allclose."""
+    import jax.numpy as jnp
+
+    from gs2d_tpu.ops import render_pallas as rp
+    from gs2d_tpu.ops.render_jax import render_backward, render_forward
+
+    n = 8
+    cfg = SplatConfig(width=64, height=48, n_splats=n, tile_h=32)
+    p = make_params(data, n)
+    ref = np.full((48, 64, 3), 0.25, np.float32)
+    refc = rp.pad_ref_chw(jnp.asarray(ref), cfg)
+    b = tl.bin_splats(p, cfg, 8)
+    C, g = rp.l2_render_and_grads(b, refc, n, cfg)
+    C1, _ = render_forward(p, cfg)
+    g1 = render_backward(p, C1, C1 - jnp.asarray(ref), cfg)
+    np.testing.assert_allclose(np.asarray(C), np.asarray(C1), atol=3e-7)
+    for f in ("pos", "sx", "sy", "rot", "color", "opacity"):
+        a, c = np.asarray(getattr(g1, f)), np.asarray(getattr(g, f))
+        atol = 1e-4 * max(1.0, np.abs(a).max())
+        np.testing.assert_allclose(c, a, atol=atol, err_msg=f)
