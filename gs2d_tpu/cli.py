@@ -256,7 +256,18 @@ def main(argv=None) -> int:
         # it_done[0] tracks the global iteration across blocks and resume.
         ck.save(it_done[0] + it, state, cfg)
 
-    if args.densify_every and use_pallas:
+    if args.densify_every and use_pallas and (args.ssim or
+                                              args.checkpoint_every):
+        # fit_adaptive hard-codes the fused L2 objective and takes no
+        # checkpoint hook; silently dropping either flag would hand the
+        # user pure-L2 training / no checkpoints. Fall back to the modular
+        # fit() block path below, which honors both.
+        print("note: --densify-every with --ssim/--checkpoint-every uses "
+              "the modular (non-fused) block path")
+        use_adaptive = False
+    else:
+        use_adaptive = bool(args.densify_every and use_pallas)
+    if use_adaptive:
         # Production adaptive-density path: the densify signal accumulates
         # on device inside the train step (no extra render/grad passes).
         from gs2d_tpu.train.densify import fit_adaptive

@@ -80,6 +80,14 @@ class SplatConfig:
     # 32 covers splats up to ~120 px tall at tile_h=8; larger splats get a
     # row-major-truncated bbox, counted in TileBinning.n_dropped.
     max_tiles_per_splat: int = 32
+    # Exact-ellipse tile culling in binning (net-new): drop (splat, tile)
+    # pairs whose Mahalanobis ellipse provably cannot touch any pixel the
+    # kernels would walk on that tile (conservative ellipse-rect separation,
+    # tiles.tile_may_touch). The reference bins nothing (splat-major walk,
+    # main.cpp:489-509); the bbox binning the kernels started from keeps
+    # corner tiles a rotated ellipse never reaches. Renders are bitwise
+    # identical either way (culled pairs contribute exactly nothing).
+    exact_cull: bool = True
 
     # --- binning layout (net-new; see ops/tiles.py vs ops/tiles_flat.py) --
     # "dense": padded (n_tiles, K) lists + single fused kernel -- best at

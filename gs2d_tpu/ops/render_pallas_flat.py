@@ -63,10 +63,17 @@ _RESIDENT_SMEM_BUDGET = 800 * 1024
 
 def _resident_fits(cfg: SplatConfig) -> bool:
     """Conservative SMEM estimate for the resident kernel's whole-array
-    inputs: the rank-1 packed table plus the (n_tiles, K) id matrix."""
+    inputs: the rank-1 packed table plus the (n_tiles, K) id matrix.
+
+    The ids matrix is rank-2, and SMEM pads a rank-2 minor dim up to a
+    multiple of 128 elements (measured v5e allocator behavior, CLAUDE.md),
+    so its real footprint uses K rounded up to 128 -- without this, tuned
+    K=64 configs near the budget auto-select resident and then fail SMEM
+    allocation at compile time."""
     k = cfg.max_splats_per_tile or min(max(256, cfg.n_splats // 4), 4096)
+    k_padded = -(-k // 128) * 128
     table = 4 * tl.N_FIELDS * (cfg.n_splats + 1)
-    ids = 4 * cfg.n_tiles_x * cfg.n_tiles_y * k
+    ids = 4 * cfg.n_tiles_x * cfg.n_tiles_y * k_padded
     return table + ids <= _RESIDENT_SMEM_BUDGET
 
 

@@ -95,6 +95,13 @@ def splat_tile_bbox(p: GaussianParams, cfg: SplatConfig):
     walk in the kernel re-applies the exact truncated bounds, so the tile
     bbox only needs to be conservative.
     """
+    bbox, _ = _bbox_and_quad(p, cfg)
+    return bbox
+
+
+def _bbox_and_quad(p: GaussianParams, cfg: SplatConfig):
+    """splat_tile_bbox plus the inverse-covariance quadratic (a, b, d) and
+    position columns it was derived from (shared with tile_may_touch)."""
     s11, s12, s22 = geometry.cov_of(p.sx, p.sy, p.rot)
     a, b, d, det = geometry.inv_cov_of(s11, s12, s22)
     hy = geometry.bbox_half_height(a, det, cfg.splat_bounds)
@@ -111,7 +118,69 @@ def splat_tile_bbox(p: GaussianParams, cfg: SplatConfig):
     ty1 = jnp.clip(y1 // cfg.tile_h, 0, cfg.n_tiles_y - 1)
     # Fully off-screen splats contribute zero tiles.
     offscreen = (x1 < 0) | (x0 >= cfg.width) | (y1 < 0) | (y0 >= cfg.height)
-    return tx0, tx1, ty0, ty1, offscreen
+    return (tx0, tx1, ty0, ty1, offscreen), (px, py, a, b, d)
+
+
+# Fp slack of the conservative ellipse-rect test (tile_may_touch): the
+# kernels decide coverage from their own fp evaluation of the same
+# quadratic, so the cull must under-approximate by a margin. Relative part
+# scales with the evaluated terms (covers cancellation), absolute part
+# guards the cutoff comparison (cutoff_sq is 9.0 by default).
+CULL_REL_MARGIN = 1e-5
+CULL_ABS_MARGIN = 1e-3
+
+
+def tile_may_touch(px, py, a, b, d, tx, tyg, cfg: SplatConfig):
+    """Conservative per-(splat, tile) test: can the splat's Mahalanobis
+    ellipse reach any pixel the kernels would walk on tile (tyg, tx)?
+
+    The kernels (render_pallas._splat_terms; reference main.cpp:489-509)
+    walk pixels whose row has real quadratic roots and whose column index
+    lies in [trunc(px+r0), trunc(px+r1)] -- so every walked pixel center
+    (x+0.5, y+0.5) has, in v = center - pos coordinates, vy inside the
+    ellipse's vertical extent and vx in [r0 - 0.5, r1 + 1.5] (trunc slack,
+    including the toward-zero rounding of negative interval ends). A tile
+    can therefore be culled iff the exact ellipse {q(v) <= cutoff_sq},
+    q(v) = a vx^2 + 2b vx vy + d vy^2, misses the tile's pixel-center rect
+    expanded by [-1.5, +0.5] in x.
+
+    Minimizing the quadratic over the rect is exact: if the rect contains
+    the center the min is 0; otherwise the min lies on the boundary, and on
+    each edge the restriction is a 1-D convex quadratic (a, d > 0) whose
+    clamped stationary point is the edge minimum. Each edge min carries a
+    term-magnitude fp margin; non-finite or degenerate inputs never cull.
+    Inputs broadcast elementwise; returns a bool array.
+    """
+    tw, th = cfg.tile_w, cfg.tile_h
+    k2 = jnp.float32(cfg.cutoff_sq)
+    rel = jnp.float32(CULL_REL_MARGIN)
+    x_edge = (tx * tw).astype(jnp.float32)
+    y_edge = (tyg * th).astype(jnp.float32)
+    rx0 = x_edge - jnp.float32(1.0) - px
+    rx1 = x_edge + jnp.float32(tw) - px
+    ry0 = y_edge + jnp.float32(0.5) - py
+    ry1 = y_edge + jnp.float32(th) - jnp.float32(0.5) - py
+
+    def edge_vx(c):  # vx fixed at c, minimize over vy in [ry0, ry1]
+        vy = jnp.clip(-b * c / d, ry0, ry1)
+        t1, t2, t3 = a * c * c, jnp.float32(2.0) * b * c * vy, d * vy * vy
+        return (t1 + t2 + t3) - rel * (jnp.abs(t1) + jnp.abs(t2)
+                                       + jnp.abs(t3))
+
+    def edge_vy(r):  # vy fixed at r, minimize over vx in [rx0, rx1]
+        vx = jnp.clip(-b * r / a, rx0, rx1)
+        t1, t2, t3 = a * vx * vx, jnp.float32(2.0) * b * vx * r, d * r * r
+        return (t1 + t2 + t3) - rel * (jnp.abs(t1) + jnp.abs(t2)
+                                       + jnp.abs(t3))
+
+    qmin = jnp.minimum(jnp.minimum(edge_vx(rx0), edge_vx(rx1)),
+                       jnp.minimum(edge_vy(ry0), edge_vy(ry1)))
+    center_inside = (rx0 <= 0.0) & (0.0 <= rx1) & (ry0 <= 0.0) & (0.0 <= ry1)
+    healthy = (jnp.isfinite(px) & jnp.isfinite(py) & jnp.isfinite(b)
+               & (a > 0.0) & (d > 0.0)
+               & jnp.isfinite(a) & jnp.isfinite(d))
+    return (~healthy) | center_inside \
+        | (qmin <= k2 + jnp.float32(CULL_ABS_MARGIN))
 
 
 def bin_splats(
@@ -150,7 +219,8 @@ def bin_splats(
     n_tiles = band_rows * cfg.n_tiles_x
     if max_tiles_per_splat is None:
         max_tiles_per_splat = cfg.max_tiles_per_splat
-    tx0, tx1, ty0, ty1, offscreen = splat_tile_bbox(p, cfg)
+    (tx0, tx1, ty0, ty1, offscreen), (px, py, qa, qb, qd) = \
+        _bbox_and_quad(p, cfg)
     # Shift to band-local tile rows and clip.
     band_row0 = jnp.asarray(band_row0, jnp.int32)
     offscreen = offscreen | (ty1 < band_row0) \
@@ -173,6 +243,15 @@ def bin_splats(
     tile_id = ((ty0[:, None] + local_y) * cfg.n_tiles_x
                + tx0[:, None] + local_x).astype(jnp.int32)
     live = slot[None, :] < count[:, None]
+    if cfg.exact_cull:
+        # Drop bbox tiles the splat's ellipse provably cannot touch (the
+        # corner tiles of rotated/anisotropic splats -- see tile_may_touch).
+        # Culled pairs simply vanish from the sorted runs; they are exact
+        # removals, not capacity drops, so n_dropped is unaffected.
+        live = live & tile_may_touch(
+            px[:, None], py[:, None], qa[:, None], qb[:, None], qd[:, None],
+            tx0[:, None] + local_x,
+            band_row0 + ty0[:, None] + local_y, cfg)
 
     # Key packing: tile_id in the high bits, splat id (or segment-local id)
     # in the low bits, so a plain value sort yields per-tile runs already in

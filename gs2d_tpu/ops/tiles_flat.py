@@ -130,7 +130,8 @@ def bin_splats_flat(
     # per-splat values are broadcast onto the E rows with a scatter of
     # run-start deltas + prefix sum -- NOT E-wide gathers: the TPU gather
     # unit pays per row, and each avoided gather costs more than a cumsum.
-    tx0, tx1, ty0, ty1, offscreen = tl.splat_tile_bbox(p, cfg)
+    (tx0, tx1, ty0, ty1, offscreen), (qpx, qpy, qa, qb, qd) = \
+        tl._bbox_and_quad(p, cfg)
     band_row0 = jnp.asarray(band_row0, jnp.int32)
     offscreen = offscreen | (ty1 < band_row0) \
         | (ty0 > band_row0 + (band_rows - 1))
@@ -158,10 +159,28 @@ def bin_splats_flat(
     wb = jnp.maximum(splat_broadcast(w_t), 1)
     ly = rank // wb
     lx = rank - ly * wb
-    tile_e = ((splat_broadcast(ty0) + ly) * cfg.n_tiles_x
-              + splat_broadcast(tx0) + lx)
+    ty_e = splat_broadcast(ty0) + ly
+    tx_e = splat_broadcast(tx0) + lx
+    tile_e = ty_e * cfg.n_tiles_x + tx_e
+    if cfg.exact_cull:
+        # Exact-ellipse tile culling (tiles.tile_may_touch): per-splat float
+        # params are broadcast onto the expansion rows through the same
+        # deltas+cumsum trick via their int32 bit patterns -- integer delta
+        # telescoping is exact (wraparound included), so every row sees the
+        # exact f32 bits, with no E-wide gather.
+        def fbroadcast(v):
+            bits = jax.lax.bitcast_convert_type(
+                v.astype(jnp.float32), jnp.int32)
+            return jax.lax.bitcast_convert_type(
+                splat_broadcast(bits), jnp.float32)
+
+        live_e = live_e & tl.tile_may_touch(
+            fbroadcast(qpx), fbroadcast(qpy), fbroadcast(qa),
+            fbroadcast(qb), fbroadcast(qd),
+            tx_e, band_row0 + ty_e, cfg)
     tile_e = jnp.where(live_e, tile_e, jnp.int32(n_tiles))  # dead rows last
-    splat_e = splat_broadcast(jnp.arange(n, dtype=jnp.int32))
+    splat_e = jnp.where(
+        live_e, splat_broadcast(jnp.arange(n, dtype=jnp.int32)), -1)
 
     # --- one stable sort by tile id ---------------------------------------
     # Expansion rows are in ascending splat order, so a stable sort on the

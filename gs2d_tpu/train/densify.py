@@ -222,13 +222,18 @@ def fit_adaptive(
 
     if state is None:
         state = init_train_state(cfg)
-    if rpf.use_flat(cfg):
-        if cfg.flat_capacity is None:
-            cfg = rpf.tune_flat_config(state.params, cfg)
-    elif cfg.max_splats_per_tile is None:
+
+    def retune(cfg):
+        """(Re-)derive the binning capacity statics from the population."""
+        if rpf.use_flat(cfg):
+            return rpf.tune_flat_config(state.params, cfg)
         from gs2d_tpu.ops import tiles as tl
 
-        cfg = tl.tune_tile_capacity(state.params, cfg)
+        return tl.tune_tile_capacity(state.params, cfg)
+
+    if (rpf.use_flat(cfg) and cfg.flat_capacity is None) \
+            or (not rpf.use_flat(cfg) and cfg.max_splats_per_tile is None):
+        cfg = retune(cfg)
     refp = rp.pad_ref_chw(jnp.asarray(ref), cfg)
 
     history = []
@@ -236,6 +241,7 @@ def fit_adaptive(
     while done < iterations:
         window = min(densify_every, iterations - done)
         accum = jnp.zeros((cfg.n_splats,), jnp.float32)
+        drops = jnp.int32(0)  # device-side window overflow accumulator
         if scan_chunk and scan_chunk > 1:
             fit_k = make_fit_scan_fused(cfg, True)
             w_done = 0
@@ -243,6 +249,7 @@ def fit_adaptive(
                 n = min(scan_chunk, window - w_done)
                 state, auxes = fit_k(state, refp, n)
                 accum = accum + auxes.pos_grad_mag
+                drops = drops + jnp.sum(jnp.asarray(auxes.n_dropped))
                 if log_every:
                     mse = jax.device_get(auxes.mse)
                     for j in range(n):
@@ -258,6 +265,7 @@ def fit_adaptive(
             for j in range(window):
                 state, aux = step(state, refp)
                 accum = accum + aux.pos_grad_mag  # device-side, async
+                drops = drops + jnp.asarray(aux.n_dropped)
                 it = done + j
                 if log_every and (it % log_every == 0
                                   or it == iterations - 1):
@@ -265,15 +273,31 @@ def fit_adaptive(
                     history.append(rec)
                     if log_fn:
                         log_fn(f"{it} itr, mse {rec['mse']:.4f}")
+        prev = done
         done += window
         if done < iterations:
             state = densify_and_prune(state, accum, cfg, dcfg, seed=done)
-            if opacity_reset_every and done % opacity_reset_every == 0 \
-                    and cfg.optimize_opacity:
+            # Fire when the window CROSSED a reset boundary, so any
+            # opacity_reset_every works, not only multiples of densify_every.
+            if opacity_reset_every and cfg.optimize_opacity and \
+                    done // opacity_reset_every > prev // opacity_reset_every:
                 state = opacity_reset(state, cfg, opacity_reset_value)
             if reorder_every and done % reorder_every == 0:
                 from gs2d_tpu.train.reorder import reorder_state
 
                 state = reorder_state(state, cfg)
+            # Densify concentrates clones/splits into the already-fullest
+            # tiles; if this window overflowed a static capacity (pairs were
+            # dropped -- wrong gradients for the dropped pairs), warn and
+            # re-derive the capacity statics from the new population before
+            # the next window ("overflow is never silent", ops/tiles.py).
+            window_drops = int(jax.device_get(drops))
+            if window_drops > 0:
+                if log_fn:
+                    log_fn(f"WARNING: binning capacity overflow: "
+                           f"{window_drops} splat-tile pairs dropped in the "
+                           f"window ending at {done}; re-tuning capacities")
+                cfg = retune(cfg)
+                refp = rp.pad_ref_chw(jnp.asarray(ref), cfg)
     jax.block_until_ready(state.params.pos)
     return state, history

@@ -47,6 +47,68 @@ def brute_force_incidence(p: GaussianParams, cfg: SplatConfig):
     return out
 
 
+def brute_force_coverage(p: GaussianParams, cfg: SplatConfig):
+    """Per-pixel walked set, mimicking the kernel masks exactly
+    (render_pallas._splat_terms; main.cpp:489-511 trunc semantics): a
+    (splat -> set of tile ids) map of tiles holding at least one pixel the
+    kernel would touch for that splat. f32 arithmetic like the kernels."""
+    f32 = np.float32
+    s11, s12, s22 = geometry.cov_of(p.sx, p.sy, p.rot)
+    a, b, d, det = geometry.inv_cov_of(s11, s12, s22)
+    a, b, d = np.asarray(a, f32), np.asarray(b, f32), np.asarray(d, f32)
+    h = np.asarray(geometry.bbox_half_height(a, det, cfg.splat_bounds), f32)
+    px = np.asarray(p.pos[:, 0], f32)
+    py = np.asarray(p.pos[:, 1], f32)
+    k2 = f32(cfg.cutoff_sq)
+    yy = np.arange(cfg.height, dtype=np.int32)[:, None]
+    xx = np.arange(cfg.width, dtype=np.int32)[None, :]
+    fy = yy.astype(f32) + f32(0.5)
+    fx = xx.astype(f32) + f32(0.5)
+    out = {}
+    for i in range(len(px)):
+        vy = fy - py[i]
+        beg_y = np.trunc(py[i] - h[i]).astype(np.int32)
+        end_y = np.trunc(py[i] + h[i]).astype(np.int32)
+        row_ok = (yy >= beg_y) & (yy <= end_y)
+        qb = f32(2.0) * b[i] * vy
+        qc = d[i] * vy * vy - k2
+        disc = qb * qb - f32(4.0) * a[i] * qc
+        q_ok = disc >= 0.0
+        sq = np.sqrt(np.maximum(disc, f32(0.0)))
+        sgn = np.where(qb < 0.0, f32(-1.0), f32(1.0))
+        kq = (-qb - sgn * sq) * f32(0.5)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r0 = kq / a[i]
+            r1 = qc / kq
+        # NaN/inf roots only occur where q_ok is False; make the cast quiet.
+        r0 = np.nan_to_num(r0, nan=0.0, posinf=1e9, neginf=-1e9)
+        r1 = np.nan_to_num(r1, nan=0.0, posinf=1e9, neginf=-1e9)
+        beg_x = np.trunc(px[i] + np.minimum(r0, r1)).astype(np.int32)
+        end_x = np.trunc(px[i] + np.maximum(r0, r1)).astype(np.int32)
+        col_ok = (xx >= beg_x) & (xx <= end_x)
+        cover = row_ok & q_ok & col_ok
+        ys, xs = np.nonzero(cover)
+        tiles = set((ys // cfg.tile_h) * cfg.n_tiles_x + xs // cfg.tile_w)
+        if tiles:
+            out[i] = tiles
+    return out
+
+
+def check_binning_contract(per_tile_got, p, cfg):
+    """Assert the culled-binning contract: per tile, ids are strictly
+    ascending (compositing order), a subset of the bbox incidence, and a
+    superset of the tiles whose pixels the kernels actually walk."""
+    bbox = brute_force_incidence(p, cfg)
+    covered = brute_force_coverage(p, cfg)
+    for t, got in per_tile_got.items():
+        assert got == sorted(set(got)), f"tile {t}: order"
+        assert set(got) <= set(bbox.get(t, [])), f"tile {t}: not in bbox"
+    for i, tiles in covered.items():
+        for t in tiles:
+            assert i in per_tile_got.get(t, []), \
+                f"covered splat {i} culled from tile {t}"
+
+
 def splats_strategy(n):
     f32 = st.floats(min_value=-20.0, max_value=160.0, width=32,
                     allow_nan=False)
@@ -74,39 +136,66 @@ def make_params(data, n):
     )
 
 
-@settings(max_examples=25, deadline=None)
-@given(splats_strategy(12))
-def test_dense_binning_matches_brute_force(data):
-    n = 12
-    cfg = SplatConfig(width=96, height=72, n_splats=n, tile_h=32)
-    p = make_params(data, n)
-    want = brute_force_incidence(p, cfg)
-    b = jax.jit(lambda q: tl.bin_splats(q, cfg, 16, max_tiles_per_splat=32))(p)
+def dense_per_tile(p, cfg, k=16):
+    b = jax.jit(lambda q: tl.bin_splats(q, cfg, k, max_tiles_per_splat=32))(p)
     ids = np.asarray(b.ids)
     count = np.asarray(b.count)
     assert int(b.n_dropped) == 0
-    for t in range(ids.shape[0]):
-        got = [int(x) for x in ids[t, : count[t]]]
-        assert got == want.get(t, []), f"tile {t}"
+    return {t: [int(x) for x in ids[t, : count[t]]]
+            for t in range(ids.shape[0]) if count[t]}
 
 
-@settings(max_examples=25, deadline=None)
-@given(splats_strategy(12))
-def test_flat_binning_matches_brute_force(data):
-    n = 12
-    cfg = SplatConfig(width=96, height=72, n_splats=n, tile_h=32)
-    p = make_params(data, n)
-    want = brute_force_incidence(p, cfg)
-    kc = 16
+def flat_per_tile(p, cfg, kc=16):
     b = jax.jit(lambda q: tlf.bin_splats_flat(q, cfg, 64 * kc, kc=kc))(p)
     ids = np.asarray(b.ids)
     start = np.asarray(b.start)
     count = np.asarray(b.count)
     assert int(b.n_dropped) == 0
     n_tiles = cfg.n_tiles_x * cfg.n_tiles_y
-    for t in range(n_tiles):
-        got = [int(x) for x in ids[start[t]: start[t] + count[t]]]
-        assert got == want.get(t, []), f"tile {t}"
+    return {t: [int(x) for x in ids[start[t]: start[t] + count[t]]]
+            for t in range(n_tiles) if count[t]}
+
+
+@settings(max_examples=25, deadline=None)
+@given(splats_strategy(12))
+def test_dense_binning_matches_brute_force(data):
+    n = 12
+    cfg = SplatConfig(width=96, height=72, n_splats=n, tile_h=32,
+                      exact_cull=False)
+    p = make_params(data, n)
+    want = brute_force_incidence(p, cfg)
+    got = dense_per_tile(p, cfg)
+    for t in set(want) | set(got):
+        assert got.get(t, []) == want.get(t, []), f"tile {t}"
+
+
+@settings(max_examples=25, deadline=None)
+@given(splats_strategy(12))
+def test_flat_binning_matches_brute_force(data):
+    n = 12
+    cfg = SplatConfig(width=96, height=72, n_splats=n, tile_h=32,
+                      exact_cull=False)
+    p = make_params(data, n)
+    want = brute_force_incidence(p, cfg)
+    got = flat_per_tile(p, cfg)
+    for t in set(want) | set(got):
+        assert got.get(t, []) == want.get(t, []), f"tile {t}"
+
+
+@settings(max_examples=25, deadline=None)
+@given(splats_strategy(12))
+def test_culled_binning_contract_fuzz(data):
+    """With exact-ellipse culling on (the default), both layouts must bin
+    every tile the kernels walk (never cull covered work), only tiles from
+    the bbox, in ascending order -- and must agree with each other."""
+    n = 12
+    cfg = SplatConfig(width=96, height=72, n_splats=n, tile_h=32)
+    assert cfg.exact_cull
+    p = make_params(data, n)
+    dense = dense_per_tile(p, cfg)
+    flat = flat_per_tile(p, cfg)
+    assert dense == flat
+    check_binning_contract(dense, p, cfg)
 
 
 @settings(max_examples=6, deadline=None)
