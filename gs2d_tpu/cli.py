@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tile binning layout (auto picks by population "
                         "size; resident = small-N whole-table kernel, see "
                         "ops/render_pallas_resident.py)")
+    p.add_argument("--rebin-margin", type=float, default=0.0,
+                   help="lazy rebinning: bin with this many pixels of "
+                        "footprint slack and reuse the binning across scan "
+                        "steps until a splat escapes it (resident layout "
+                        "+ --scan-chunk only; 0 = rebin every step)")
     p.add_argument("--mesh", default="",
                    help="data,tile,splat axis sizes for multi-device runs "
                         "(e.g. 1,2,4); empty = single device")
@@ -177,6 +182,7 @@ def main(argv=None) -> int:
         use_exp_approx=not args.exact_exp,
         max_splats_per_tile=args.max_per_tile or None,
         binning=args.binning,
+        rebin_margin=args.rebin_margin,
     )
     if args.tile_h:
         cfg = cfg.replace(tile_h=args.tile_h)

@@ -85,9 +85,20 @@ class SplatConfig:
     # kernels would walk on that tile (conservative ellipse-rect separation,
     # tiles.tile_may_touch). The reference bins nothing (splat-major walk,
     # main.cpp:489-509); the bbox binning the kernels started from keeps
-    # corner tiles a rotated ellipse never reaches. Renders are bitwise
-    # identical either way (culled pairs contribute exactly nothing).
+    # corner tiles a rotated ellipse never reaches. Culled pairs contribute
+    # exactly nothing (renders match to <= 1 ulp; removing list entries
+    # shifts unrolled-loop boundaries where XLA's excess-precision rounding
+    # may move, same as the documented across-tile_h drift).
     exact_cull: bool = True
+    # Lazy rebinning (net-new): when > 0, the scan fitter bins with this
+    # many pixels of footprint slack and reuses the binning across steps
+    # until some splat's exact footprint escapes its slack
+    # (tiles.pairs_covered_by -- an exact, conservative test). Superset
+    # pairs contribute exactly nothing mathematically, so trajectories
+    # match per-step rebinning (to <= 1 ulp/step of excess-precision
+    # slot-shift noise). 0 disables (bin every step). Only the resident
+    # (ids-only) layout caches today; other layouts ignore this.
+    rebin_margin: float = 0.0
 
     # --- binning layout (net-new; see ops/tiles.py vs ops/tiles_flat.py) --
     # "dense": padded (n_tiles, K) lists + single fused kernel -- best at

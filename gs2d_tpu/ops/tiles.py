@@ -99,13 +99,18 @@ def splat_tile_bbox(p: GaussianParams, cfg: SplatConfig):
     return bbox
 
 
-def _bbox_and_quad(p: GaussianParams, cfg: SplatConfig):
+def _bbox_and_quad(p: GaussianParams, cfg: SplatConfig, margin: float = 0.0):
     """splat_tile_bbox plus the inverse-covariance quadratic (a, b, d) and
-    position columns it was derived from (shared with tile_may_touch)."""
+    position columns it was derived from (shared with tile_may_touch).
+
+    ``margin`` expands the bbox half-extents by that many pixels -- the
+    lazy-rebinning slack (see pairs_covered_by): a margined binning stays a
+    superset of the exact pair set while every splat's footprint drifts
+    less than the margin."""
     s11, s12, s22 = geometry.cov_of(p.sx, p.sy, p.rot)
     a, b, d, det = geometry.inv_cov_of(s11, s12, s22)
-    hy = geometry.bbox_half_height(a, det, cfg.splat_bounds)
-    hx = geometry.bbox_half_width(d, det, cfg.splat_bounds)
+    hy = geometry.bbox_half_height(a, det, cfg.splat_bounds) + margin
+    hx = geometry.bbox_half_width(d, det, cfg.splat_bounds) + margin
     px, py = p.pos[:, 0], p.pos[:, 1]
     # Pixel bounds use the same trunc semantics as the rasterizer loops.
     x0 = trunc_to_int(px - hx)
@@ -130,7 +135,8 @@ CULL_REL_MARGIN = 1e-5
 CULL_ABS_MARGIN = 1e-3
 
 
-def tile_may_touch(px, py, a, b, d, tx, tyg, cfg: SplatConfig):
+def tile_may_touch(px, py, a, b, d, tx, tyg, cfg: SplatConfig,
+                   margin: float = 0.0):
     """Conservative per-(splat, tile) test: can the splat's Mahalanobis
     ellipse reach any pixel the kernels would walk on tile (tyg, tx)?
 
@@ -150,16 +156,20 @@ def tile_may_touch(px, py, a, b, d, tx, tyg, cfg: SplatConfig):
     clamped stationary point is the edge minimum. Each edge min carries a
     term-magnitude fp margin; non-finite or degenerate inputs never cull.
     Inputs broadcast elementwise; returns a bool array.
+
+    ``margin`` expands the tile rect by that many pixels on every side
+    (lazy-rebinning slack, matching _bbox_and_quad's margin).
     """
     tw, th = cfg.tile_w, cfg.tile_h
     k2 = jnp.float32(cfg.cutoff_sq)
     rel = jnp.float32(CULL_REL_MARGIN)
+    m = jnp.float32(margin)
     x_edge = (tx * tw).astype(jnp.float32)
     y_edge = (tyg * th).astype(jnp.float32)
-    rx0 = x_edge - jnp.float32(1.0) - px
-    rx1 = x_edge + jnp.float32(tw) - px
-    ry0 = y_edge + jnp.float32(0.5) - py
-    ry1 = y_edge + jnp.float32(th) - jnp.float32(0.5) - py
+    rx0 = x_edge - jnp.float32(1.0) - px - m
+    rx1 = x_edge + jnp.float32(tw) - px + m
+    ry0 = y_edge + jnp.float32(0.5) - py - m
+    ry1 = y_edge + jnp.float32(th) - jnp.float32(0.5) - py + m
 
     def edge_vx(c):  # vx fixed at c, minimize over vy in [ry0, ry1]
         vy = jnp.clip(-b * c / d, ry0, ry1)
@@ -183,6 +193,52 @@ def tile_may_touch(px, py, a, b, d, tx, tyg, cfg: SplatConfig):
         | (qmin <= k2 + jnp.float32(CULL_ABS_MARGIN))
 
 
+def pairs_covered_by(p_now: GaussianParams, snap: GaussianParams,
+                     cfg: SplatConfig, margin: float) -> jax.Array:
+    """Is the EXACT current pair set still covered by the binning built
+    from ``snap`` with ``margin`` px of slack? (lazy-rebinning tripwire)
+
+    Enumerates the exact (margin 0) pair set of ``p_now`` on the
+    (N, max_tiles_per_splat) slot grid and tests each live pair for
+    membership in the margined bin-time footprint: inside snap's expanded
+    tile bbox AND passing snap's margin-expanded ellipse-rect test -- the
+    exact predicates bin_splats(margin=...) used, so membership here means
+    the pair is in the cached lists. Splat index order never changes, so a
+    covered subset renders identically through the cached binning (to
+    <= 1 ulp of excess-precision slot-shift noise; see test_resident.py).
+
+    Returns a scalar bool: True while the cache is valid. Any current
+    bbox truncation (count_full > cap) returns False -- forcing a rebin
+    whose n_dropped tripwire reports the overflow (never silent).
+    """
+    cap = cfg.max_tiles_per_splat
+    (tx0, tx1, ty0, ty1, off), (px, py, a, b, d) = _bbox_and_quad(p_now, cfg)
+    w_t = tx1 - tx0 + 1
+    count_full = jnp.where(off, 0, w_t * (ty1 - ty0 + 1))
+    count = jnp.minimum(count_full, cap)
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    ly = slot[None, :] // jnp.maximum(w_t, 1)[:, None]
+    lx = slot[None, :] % jnp.maximum(w_t, 1)[:, None]
+    txg = tx0[:, None] + lx
+    tyg = ty0[:, None] + ly
+    live = slot[None, :] < count[:, None]
+    if cfg.exact_cull:
+        live = live & tile_may_touch(
+            px[:, None], py[:, None], a[:, None], b[:, None], d[:, None],
+            txg, tyg, cfg)
+
+    (mtx0, mtx1, mty0, mty1, moff), (bpx, bpy, ba, bb, bd) = \
+        _bbox_and_quad(snap, cfg, margin)
+    inb = (txg >= mtx0[:, None]) & (txg <= mtx1[:, None]) \
+        & (tyg >= mty0[:, None]) & (tyg <= mty1[:, None]) \
+        & ~moff[:, None]
+    member = inb & tile_may_touch(
+        bpx[:, None], bpy[:, None], ba[:, None], bb[:, None], bd[:, None],
+        txg, tyg, cfg, margin)
+    ok = jnp.all(~live | member)
+    return ok & jnp.all(count_full <= cap)
+
+
 def bin_splats(
     p: GaussianParams,
     cfg: SplatConfig,
@@ -194,6 +250,7 @@ def bin_splats(
     band_rows: int | None = None,
     counts_only: bool = False,
     ids_only: bool = False,
+    margin: float = 0.0,
 ) -> TileBinning:
     """Build the per-tile splat lists (index order preserved within a tile).
 
@@ -211,6 +268,13 @@ def bin_splats(
     ``ids_only`` skips the parameter pregather (tile_params is a dummy
     (1, 1, N_FIELDS) zero block) -- for kernels that hold the whole packed
     table resident and fetch by id (render_pallas_resident.py).
+
+    ``margin`` (pixels) expands every splat's footprint (bbox AND cull
+    rect), producing a superset binning that stays valid while splats
+    drift less than the margin -- the lazy-rebinning contract checked by
+    ``pairs_covered_by``. Superset pairs contribute exactly nothing in the
+    kernels, so renders are mathematically identical (<= 1 ulp of
+    excess-precision slot-shift noise through the compiled loops).
     """
     n = p.pos.shape[0]
     if band_rows is None:
@@ -220,7 +284,7 @@ def bin_splats(
     if max_tiles_per_splat is None:
         max_tiles_per_splat = cfg.max_tiles_per_splat
     (tx0, tx1, ty0, ty1, offscreen), (px, py, qa, qb, qd) = \
-        _bbox_and_quad(p, cfg)
+        _bbox_and_quad(p, cfg, margin)
     # Shift to band-local tile rows and clip.
     band_row0 = jnp.asarray(band_row0, jnp.int32)
     offscreen = offscreen | (ty1 < band_row0) \
@@ -251,7 +315,7 @@ def bin_splats(
         live = live & tile_may_touch(
             px[:, None], py[:, None], qa[:, None], qb[:, None], qd[:, None],
             tx0[:, None] + local_x,
-            band_row0 + ty0[:, None] + local_y, cfg)
+            band_row0 + ty0[:, None] + local_y, cfg, margin)
 
     # Key packing: tile_id in the high bits, splat id (or segment-local id)
     # in the low bits, so a plain value sort yields per-tile runs already in
@@ -420,7 +484,9 @@ def tune_max_tiles_per_splat(
     per-tile capacity.
     """
     def coverage(q):
-        tx0, tx1, ty0, ty1, offscreen = splat_tile_bbox(q, cfg)
+        # Size for the margined (lazy-rebinning) footprint when enabled.
+        (tx0, tx1, ty0, ty1, offscreen), _ = _bbox_and_quad(
+            q, cfg, cfg.rebin_margin)
         return jnp.max(jnp.where(offscreen, 0,
                                  (tx1 - tx0 + 1) * (ty1 - ty0 + 1)))
 
@@ -452,7 +518,8 @@ def tune_tile_capacity(
     """
     cfg = tune_max_tiles_per_splat(p, cfg)
     counts = jax.jit(
-        lambda q: bin_splats(q, cfg, 1, counts_only=True))(p)
+        lambda q: bin_splats(q, cfg, 1, counts_only=True,
+                             margin=cfg.rebin_margin))(p)
     m = int(jax.device_get(counts.max()))
     k = max(64, int(m * margin))
     if k <= 256:

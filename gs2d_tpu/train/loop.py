@@ -54,6 +54,9 @@ class StepAux(NamedTuple):
     # view-space gradient norm, accumulated over the window by the fit
     # drivers). Scalar 0 when the step was built without it.
     pos_grad_mag: jax.Array = 0
+    # 1 when this step rebuilt the cached binning (lazy rebinning,
+    # cfg.rebin_margin > 0); 0 on cache hits and on uncached paths.
+    rebinned: jax.Array = 0
 
 
 RenderFn = Callable[[GaussianParams, SplatConfig], jax.Array]
@@ -353,18 +356,7 @@ def _fused_step_body(cfg: SplatConfig, with_grad_mag: bool = False):
     resident = layout == "resident"
     k = None if flat else rp._max_per_tile(cfg)
 
-    def one_step(state: TrainState, ref_chw: jax.Array):
-        if flat:
-            color, grads, n_dropped = rpf.l2_step_flat(
-                state.params, ref_chw, cfg)
-        elif resident:
-            color, grads, n_dropped = rpr.l2_step_resident(
-                state.params, ref_chw, cfg, k)
-        else:
-            binning = tl.bin_splats(state.params, cfg, k)
-            color, grads = rp.l2_render_and_grads(
-                binning, ref_chw, cfg.n_splats, cfg)
-            n_dropped = binning.n_dropped
+    def tail(state, ref_chw, color, grads, n_dropped, rebinned=0):
         gmag = jnp.linalg.norm(grads.pos, axis=-1) if with_grad_mag else 0
         params, opt = adam_update(state.params, grads, state.opt, cfg)
         finite = jnp.all(
@@ -377,9 +369,61 @@ def _fused_step_body(cfg: SplatConfig, with_grad_mag: bool = False):
         mse = mse_255(color, ref_crop)
         return TrainState(params=params, opt=opt), StepAux(
             mse=mse, psnr=psnr_from_mse(mse), all_finite=finite,
-            n_dropped=n_dropped, pos_grad_mag=gmag,
+            n_dropped=n_dropped, pos_grad_mag=gmag, rebinned=rebinned,
         )
 
+    def one_step(state: TrainState, ref_chw: jax.Array):
+        if flat:
+            color, grads, n_dropped = rpf.l2_step_flat(
+                state.params, ref_chw, cfg)
+        elif resident:
+            color, grads, n_dropped = rpr.l2_step_resident(
+                state.params, ref_chw, cfg, k)
+        else:
+            binning = tl.bin_splats(state.params, cfg, k)
+            color, grads = rp.l2_render_and_grads(
+                binning, ref_chw, cfg.n_splats, cfg)
+            n_dropped = binning.n_dropped
+        return tail(state, ref_chw, color, grads, n_dropped)
+
+    one_step.layout = layout
+    if not (resident and cfg.rebin_margin > 0):
+        return one_step
+
+    # --- lazy rebinning (resident layout only) -----------------------------
+    # The resident kernel consumes ids-only binning: the packed table is
+    # rebuilt from the live params every step (O(N), cheap), so the only
+    # param-dependent cached state is the id lists -- a margined superset
+    # whose extra pairs contribute exactly nothing. The exact validity
+    # tripwire (tiles.pairs_covered_by) runs every step; lax.cond rebins
+    # only when some splat's exact footprint escaped its slack, making
+    # trajectories match per-step rebinning (<= 1 ulp/step of
+    # excess-precision slot-shift noise through the compiled loops).
+    def make_bin_cache(params):
+        b = tl.bin_splats(params, cfg, k, ids_only=True,
+                          margin=cfg.rebin_margin)
+        return (b.ids, b.count, b.n_dropped, params)
+
+    def one_step_cached(state: TrainState, ref_chw: jax.Array, cache):
+        covered = tl.pairs_covered_by(
+            state.params, cache[3], cfg, cfg.rebin_margin) \
+            & (cache[2] == 0)
+        cache = jax.lax.cond(
+            covered, lambda c: c,
+            lambda c: make_bin_cache(state.params), cache)
+        binning = tl.TileBinning(
+            ids=cache[0],
+            tile_params=jnp.zeros((1, 1, tl.N_FIELDS), jnp.float32),
+            count=cache[1], n_dropped=cache[2])
+        table = rpr.resident_table(state.params, cfg)
+        color, grads = rpr.l2_render_and_grads_resident(
+            binning, table, ref_chw, cfg.n_splats, cfg)
+        new_state, aux = tail(state, ref_chw, color, grads, cache[2],
+                              rebinned=(~covered).astype(jnp.int32))
+        return new_state, aux, cache
+
+    one_step.make_bin_cache = make_bin_cache
+    one_step.cached = one_step_cached
     return one_step
 
 
@@ -461,21 +505,27 @@ def make_fit_scan_fused(cfg: SplatConfig, with_grad_mag: bool = False):
     and replaces the aux's per-step field.
     """
     one_step = _fused_step_body(cfg, with_grad_mag)
+    cached = getattr(one_step, "cached", None)
 
     @functools.partial(jax.jit, static_argnames=("n_iters",))
     def fit_k(state: TrainState, ref_chw: jax.Array, n_iters: int):
         accum0 = jnp.zeros((cfg.n_splats,), jnp.float32)
 
         def body(carry, _):
-            st, acc = carry
-            new_state, aux = one_step(st, ref_chw)
+            st, acc, cache = carry
+            if cached is not None:
+                new_state, aux, cache = cached(st, ref_chw, cache)
+            else:
+                new_state, aux = one_step(st, ref_chw)
             if with_grad_mag:
                 acc = acc + aux.pos_grad_mag
                 aux = aux._replace(pos_grad_mag=0)
-            return (new_state, acc), aux
+            return (new_state, acc, cache), aux
 
-        (state, accum), auxes = jax.lax.scan(
-            body, (state, accum0), None, length=n_iters)
+        cache0 = one_step.make_bin_cache(state.params) \
+            if cached is not None else 0
+        (state, accum, _), auxes = jax.lax.scan(
+            body, (state, accum0, cache0), None, length=n_iters)
         if with_grad_mag:
             auxes = auxes._replace(pos_grad_mag=accum)
         return state, auxes
