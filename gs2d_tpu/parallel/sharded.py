@@ -440,13 +440,15 @@ def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
 
         aux = StepAux(mse=mse, psnr=psnr_from_mse(mse),
                       all_finite=jnp.broadcast_to(finite, mse.shape),
-                      n_dropped=drop_total, pos_grad_mag=gmag)
+                      n_dropped=drop_total, pos_grad_mag=gmag,
+                      rebinned=jnp.int32(0))  # no lazy rebinning sharded yet
         return new_state, aux
 
     sspec = state_pspec()
     aux_spec = StepAux(mse=P(DATA_AXIS), psnr=P(DATA_AXIS),
                        all_finite=P(DATA_AXIS), n_dropped=P(),
-                       pos_grad_mag=P(DATA_AXIS, SPLAT_AXIS))
+                       pos_grad_mag=P(DATA_AXIS, SPLAT_AXIS),
+                       rebinned=P())
 
     sharded = shard_map(
         local_step, mesh=mesh,

@@ -76,6 +76,30 @@ class TestShardedTraining:
                 np.asarray(want_state.params.color), rtol=1e-4, atol=2e-2)
         assert np.allclose(hist[-1]["mse"], want_mse, rtol=1e-3)
 
+    @pytest.mark.parametrize("axes", [MESHES[3], MESHES[4]],
+                             ids=lambda a: "x".join(
+                                 f"{k}{v}" for k, v in a.items()))
+    def test_matches_single_device_tight_at_small_lr(self, axes):
+        """Pin the sharded update math tighter than the production-lr test
+        above: Adam amplifies a 1-ulp gradient difference to O(lr) on
+        near-zero-gradient parameters, so at lr=1e-4 the post-Adam
+        parameter drift must shrink to atol 1e-4 -- catching any real
+        (non-noise) divergence the loose production check could hide."""
+        cfg = cfg_for(min_throughput=0.0, learning_rate=1e-4)
+        ref = jnp.asarray(synthetic_target(H, W))
+        want_state, _ = single_device_reference(cfg, ref, 3)
+
+        mesh = make_mesh(**axes)
+        batch = axes["data"]
+        refs = jnp.broadcast_to(ref[None], (batch, H, W, 3))
+        state, _ = fit_sharded(refs, cfg, mesh, iterations=3, log_fn=None)
+        for b in range(batch):
+            for f in ("pos", "sx", "sy", "rot", "color", "opacity"):
+                np.testing.assert_allclose(
+                    np.asarray(getattr(state.params, f))[b],
+                    np.asarray(getattr(want_state.params, f)),
+                    atol=1e-4, err_msg=f)
+
     def test_thresholded_vs_monoid_bounded(self):
         """With the reference threshold on, splat sharding deviates by at
         most ~1/256 per channel from the sequential semantics."""
