@@ -197,7 +197,19 @@ def main(argv=None) -> int:
     on_tpu = jax.default_backend() not in ("cpu",)
     use_pallas = args.renderer == "pallas" or (
         args.renderer == "auto" and on_tpu)
-    render_fn = render_pallas.render if use_pallas else render_jax.render
+    if use_pallas:
+        # Production-layout differentiable render (dense/flat/resident per
+        # cfg.binning): perceptual heads (--ssim) autodiff on top of it and
+        # still hit the production Pallas kernels at every scale.
+        from gs2d_tpu.ops import render_pallas_flat as rpf
+
+        if rpf.use_flat(cfg) and cfg.flat_capacity is None:
+            from gs2d_tpu.params import init_params as _ip
+
+            cfg = rpf.tune_flat_config(_ip(cfg), cfg)
+        render_fn = rpf.production_render
+    else:
+        render_fn = render_jax.render
 
     os.makedirs(args.out, exist_ok=True)
     logger = JsonlLogger(os.path.join(args.out, "metrics.jsonl"))
@@ -228,7 +240,8 @@ def main(argv=None) -> int:
         state_b, hist = fit_sharded(
             refj[None], cfg, mesh, iterations=args.iters,
             log_every=args.log_every,
-            renderer="pallas" if use_pallas else "scan")
+            renderer="pallas" if use_pallas else "scan",
+            ssim_lambda=args.ssim)
         for rec in hist:
             logger.log(**rec)
         print(f"done (sharded over {mesh.shape})")

@@ -148,7 +148,12 @@ SAT_WALK_THRESHOLD = 8192
 
 
 def _sat_walk(cfg: SplatConfig) -> bool:
-    return cfg.n_splats >= SAT_WALK_THRESHOLD
+    if cfg.n_splats >= SAT_WALK_THRESHOLD:
+        from gs2d_tpu.utils.hardware import warn_if_untuned
+
+        warn_if_untuned()  # the gate was measured on v5e
+        return True
+    return False
 
 
 def _saturating_loop(n_live, u, step, carry, get_t, mt, k_cap,

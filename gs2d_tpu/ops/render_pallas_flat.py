@@ -80,10 +80,13 @@ def _resident_fits(cfg: SplatConfig) -> bool:
 def resolve_binning(cfg: SplatConfig) -> str:
     """Resolve cfg.binning to a concrete layout ("auto" picks by the
     measured population-size policy above)."""
-    if cfg.binning in ("dense", "flat", "resident"):
+    if cfg.binning in ("dense", "flat", "resident", "window"):
         return cfg.binning
     if cfg.binning != "auto":
         raise ValueError(f"unknown binning {cfg.binning!r}")
+    from gs2d_tpu.utils.hardware import warn_if_untuned
+
+    warn_if_untuned()  # thresholds + SMEM budget were measured on v5e
     if cfg.n_splats <= RESIDENT_THRESHOLD and _resident_fits(cfg):
         return "resident"
     if cfg.n_splats >= FLAT_THRESHOLD:
@@ -110,6 +113,79 @@ def tune_flat_config(p: GaussianParams, cfg: SplatConfig,
     m, mc = tune_flat_capacity(p, cfg, kc=cfg.flat_chunk, margin=margin,
                                n_bands=n_bands)
     return cfg.replace(flat_capacity=m, flat_max_chunks=mc)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def production_render(params: GaussianParams, cfg: SplatConfig) -> jax.Array:
+    """Differentiable rasterization on the PRODUCTION binning layout.
+
+    Same custom-VJP contract as render_pallas.render (arbitrary upstream
+    cotangent -> analytic Pallas backward), but dispatching dense / flat /
+    resident per cfg.binning instead of always dense -- so perceptual
+    heads (train/ssim.py) autodiffed on top run at production speed at
+    every scale. Flat layouts need cfg.flat_capacity/flat_max_chunks set
+    (tune_flat_config)."""
+    color, _ = _prod_fwd(params, cfg)
+    return color
+
+
+def _prod_fwd(params: GaussianParams, cfg: SplatConfig):
+    from gs2d_tpu.ops import render_pallas as rp
+    from gs2d_tpu.ops import render_pallas_resident as rpr
+    from gs2d_tpu.ops import tiles_flat as tlf
+
+    n = params.pos.shape[0]
+    if n != cfg.n_splats:
+        raise ValueError(f"params hold {n} splats, cfg says {cfg.n_splats}")
+    layout = resolve_binning(cfg)
+    if layout == "flat":
+        if cfg.flat_capacity is None or cfg.flat_max_chunks is None:
+            raise ValueError("flat binning statics unset; call "
+                             "tune_flat_config(params, cfg)")
+        binning = tlf.bin_splats_flat(params, cfg, cfg.flat_capacity,
+                                      kc=cfg.flat_chunk,
+                                      max_chunks=cfg.flat_max_chunks)
+        color_pad, _ = forward_flat(binning, cfg, cfg.flat_chunk,
+                                    cfg.flat_max_chunks)
+        color = color_pad[: cfg.height, : cfg.width]
+        return color, (binning, color_pad, ())
+    k = cfg.max_splats_per_tile or rp._max_per_tile(cfg)
+    if layout == "resident":
+        binning = tl.bin_splats(params, cfg, k, ids_only=True)
+        table = rpr.resident_table(params, cfg)
+        color, _ = rpr.forward_resident(binning, table, n, cfg)
+        return color, (binning, color, table)
+    binning = tl.bin_splats(params, cfg, k)
+    color, _ = rp.forward_tiled(binning, cfg)
+    return color, (binning, color, ())
+
+
+def _prod_render_fwd(params, cfg):
+    color, res = _prod_fwd(params, cfg)
+    return color, res
+
+
+def _prod_render_bwd(cfg, res, g_color):
+    from gs2d_tpu.ops import render_pallas as rp
+    from gs2d_tpu.ops import render_pallas_resident as rpr
+
+    binning, color, table = res
+    n = cfg.n_splats
+    layout = resolve_binning(cfg)
+    if layout == "flat":
+        hp, wp = color.shape[0], color.shape[1]
+        g_pad = jnp.zeros((hp, wp, 3), jnp.float32).at[
+            : cfg.height, : cfg.width].set(g_color)
+        grads = backward_flat(binning, color, g_pad, n, cfg,
+                              cfg.flat_chunk, cfg.flat_max_chunks)
+    elif layout == "resident":
+        grads = rpr.backward_resident(binning, table, color, g_color, n, cfg)
+    else:
+        grads = rp.backward_tiled(binning, color, g_color, n, cfg)
+    return (grads,)
+
+
+production_render.defvjp(_prod_render_fwd, _prod_render_bwd)
 
 
 def l2_step_flat(params: GaussianParams, ref_chw: jax.Array,

@@ -450,6 +450,9 @@ def tune_tile_height(cfg: SplatConfig,
     (CLI, bench) call this. Callers honoring an explicit user tile_h
     should skip it.
     """
+    from gs2d_tpu.utils.hardware import warn_if_untuned
+
+    warn_if_untuned()  # breakpoints were measured on v5e
     cfg32 = cfg.replace(tile_h=PRODUCTION_TILE_H)
     if p is None:
         return cfg32

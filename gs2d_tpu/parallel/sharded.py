@@ -164,8 +164,14 @@ def _ordered_monoid_scan(C_loc, T_loc, axis: str):
 
 
 def _pallas_band_step(params, ref_band, cfg_shard, n_splat, monoid,
-                      band_tile_rows, overlap_chunks, max_k):
+                      band_tile_rows, overlap_chunks, max_k, cot_fn=None):
     """Production per-device band step (inside shard_map).
+
+    ``cot_fn`` (band color -> band cotangent) replaces the L2 cotangent
+    for perceptual objectives (SSIM needs cross-band windows, so the
+    caller gathers the full image inside it); forcing the split
+    forward/backward structure even with one splat shard, since the fused
+    kernel hard-codes the L2 cotangent.
 
     Bins the device's band once, then computes (final band color, grads
     psum'd over the tile axis, n_dropped). The backward runs in
@@ -243,7 +249,7 @@ def _pallas_band_step(params, ref_band, cfg_shard, n_splat, monoid,
     def sub_px(sub):
         return slice(sub * rows_per * th, (sub + 1) * rows_per * th)
 
-    if n_splat == 1:
+    if n_splat == 1 and cot_fn is None:
         grads = None
         bands = []
         for sub in range(overlap_chunks):
@@ -283,7 +289,7 @@ def _pallas_band_step(params, ref_band, cfg_shard, n_splat, monoid,
         C_loc, T_loc = rp.forward_tiled(binning, cfg, band_row0=band_r0,
                                         band_rows=band_tile_rows, crop=False)
     fin, _, C_in, T_in = monoid(C_loc, T_loc, SPLAT_AXIS)
-    gC = fin - ref_band
+    gC = (fin - ref_band) if cot_fn is None else cot_fn(fin)
     grads = None
     for sub in range(overlap_chunks):
         px = sub_px(sub)
@@ -312,7 +318,8 @@ def _pallas_band_step(params, ref_band, cfg_shard, n_splat, monoid,
 def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
                             combine: str = "fold",
                             renderer: str = "scan",
-                            overlap_chunks: int = 0):
+                            overlap_chunks: int = 0,
+                            ssim_lambda: float = 0.0):
     """Build the jitted multi-device train step.
 
     State is batched (B, N, ...) and sharded (data, splat); targets are
@@ -333,6 +340,13 @@ def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
     compute (the north-star "all-reduce overlapped with the backward tile
     sweep"; 0 = auto: largest divisor of the band <= 4 when the tile axis
     is sharded, else 1). Returns (step_fn, shardings dict).
+
+    ``ssim_lambda`` > 0 optimizes the (1-lam)*L2 + lam*(1-SSIM) mix
+    (train/ssim.py): SSIM windows cross band boundaries, so each device
+    all_gathers the band colors over the tile axis, autodiffs the loss
+    head on the full image (replicated compute, one image-sized gather),
+    and slices its band of the cotangent back for the analytic backward.
+    Reported mse stays the plain L2 metric.
     """
     if combine not in ("fold", "scan"):
         raise ValueError(f"unknown combine {combine!r}")
@@ -378,11 +392,31 @@ def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
     def one_image_step(params: GaussianParams, opt, ref_band):
         y0 = jax.lax.axis_index(TILE_AXIS) * band_h
 
+        cot_fn = None
+        if ssim_lambda:
+            from gs2d_tpu.train.ssim import mixed_loss
+
+            def cot_fn(fin_band):
+                # SSIM windows cross band boundaries: gather the full
+                # image, autodiff the head on it, slice this band back.
+                full = jax.lax.all_gather(fin_band, TILE_AXIS, axis=0,
+                                          tiled=True)
+                ref_full = jax.lax.all_gather(ref_band, TILE_AXIS, axis=0,
+                                              tiled=True)
+
+                def head(c):
+                    return mixed_loss(c[: cfg.height, : cfg.width],
+                                      ref_full[: cfg.height, : cfg.width],
+                                      ssim_lambda)
+
+                g_full = jax.grad(head)(full)
+                return jax.lax.dynamic_slice_in_dim(g_full, y0, band_h, 0)
+
         if renderer == "pallas":
             fin, grads, n_drop = _pallas_band_step(
                 params, ref_band, cfg_shard, n_splat, monoid,
                 band_tile_rows, overlap_chunks,
-                cfg.max_splats_per_tile)
+                cfg.max_splats_per_tile, cot_fn=cot_fn)
             gC = fin - ref_band
         else:
             C_loc, T_loc = render_forward_band(params, cfg_shard, y0, band_h)
@@ -394,8 +428,9 @@ def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
                 fin = C_loc
                 carry_in = None
             gC = fin - ref_band  # dL/dC of the L2 objective (main.cpp:616)
+            g_obj = gC if cot_fn is None else cot_fn(fin)
             grads = render_backward_band(
-                params, fin, gC, cfg_shard, y0, band_h, carry_in)
+                params, fin, g_obj, cfg_shard, y0, band_h, carry_in)
             # Gradient all-reduce over the pixel-band axis (ICI).
             grads = jax.lax.psum(grads, TILE_AXIS)
 
@@ -478,13 +513,15 @@ def fit_sharded(
     overlap_chunks: int = 0,
     densify_every: int = 0,
     densify_cfg=None,
+    ssim_lambda: float = 0.0,
 ):
     """Host driver for multi-device fitting over a batch of targets.
 
     ``densify_every`` enables per-image adaptive density control from the
     on-device accumulated |dL/d pos| signal (StepAux.pos_grad_mag); the
     densify op itself runs jitted on the sharded state (GSPMD inserts the
-    collectives its argsort needs)."""
+    collectives its argsort needs). ``ssim_lambda`` > 0 optimizes the
+    mixed L2+SSIM objective (see make_sharded_train_step)."""
     n_tile = mesh.shape[TILE_AXIS]
     if renderer == "pallas" and cfg.n_tiles_y % n_tile:
         # Round the tile grid so each device's band is whole tile rows
@@ -516,7 +553,8 @@ def fit_sharded(
             cfg = _tl.tune_tile_capacity(p0, cfg)
     step, shardings = make_sharded_train_step(cfg, mesh, combine=combine,
                                               renderer=renderer,
-                                              overlap_chunks=overlap_chunks)
+                                              overlap_chunks=overlap_chunks,
+                                              ssim_lambda=ssim_lambda)
     state = jax.device_put(state, shardings["state"])
     refs = jax.device_put(refs, shardings["ref"])
     densify_fn = None

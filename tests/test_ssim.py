@@ -108,3 +108,83 @@ class TestSsimTraining:
             lambda q: mixed_loss(render(q, cfg), ref, 0.5))(p)
         for leaf in jax.tree.leaves(g):
             assert np.isfinite(np.asarray(leaf)).all()
+
+
+class TestSsimProductionKernels:
+    """The mixed objective through production_render (dense / flat /
+    resident Pallas kernels with an arbitrary autodiffed cotangent) must
+    match the scan-path custom VJP."""
+
+    def _grads(self, render_fn, p, ref, cfg):
+        return jax.grad(
+            lambda q: mixed_loss(render_fn(q, cfg), ref, 0.3))(p)
+
+    def _check(self, cfg, rng):
+        from gs2d_tpu.ops.render_jax import render as render_scan
+        from gs2d_tpu.ops.render_pallas_flat import production_render
+        from gs2d_tpu.params import init_params
+
+        ref = jnp.asarray(synthetic_target(cfg.height, cfg.width))
+        p = init_params(cfg)
+        want = self._grads(render_scan, p, ref, cfg)
+        got = self._grads(production_render, p, ref, cfg)
+        for f in ("pos", "sx", "sy", "rot", "color", "opacity"):
+            a = np.asarray(getattr(want, f))
+            b = np.asarray(getattr(got, f))
+            atol = 1e-4 * max(1.0, np.abs(a).max())
+            np.testing.assert_allclose(b, a, atol=atol, err_msg=f)
+
+    def test_dense(self, rng):
+        self._check(SplatConfig(width=64, height=48, n_splats=32,
+                                binning="dense", max_splats_per_tile=32,
+                                tile_h=32), rng)
+
+    def test_resident(self, rng):
+        self._check(SplatConfig(width=64, height=48, n_splats=32,
+                                binning="resident", max_splats_per_tile=32,
+                                tile_h=32), rng)
+
+    def test_flat(self, rng):
+        from gs2d_tpu.ops.render_pallas_flat import tune_flat_config
+        from gs2d_tpu.params import init_params
+
+        cfg = SplatConfig(width=64, height=48, n_splats=32, binning="flat",
+                          flat_chunk=32, tile_h=32)
+        cfg = tune_flat_config(init_params(cfg), cfg)
+        self._check(cfg, rng)
+
+
+class TestSsimSharded:
+    """The mixed objective under the (data, tile, splat) mesh: SSIM
+    windows cross band boundaries, so the sharded step gathers the image
+    for the loss head; a few sharded iterations must track the
+    single-device mixed fit (post-Adam tolerance as in test_sharding)."""
+
+    def _run(self, axes, renderer):
+        from gs2d_tpu.parallel.mesh import make_mesh
+        from gs2d_tpu.parallel.sharded import fit_sharded
+        from gs2d_tpu.train.loop import fit, init_train_state
+
+        cfg = SplatConfig(width=64, height=32, n_splats=32,
+                          min_throughput=0.0, max_splats_per_tile=32)
+        ref = jnp.asarray(synthetic_target(32, 64))
+        want, _ = fit(ref, cfg, iterations=3, state=init_train_state(cfg),
+                      log_fn=None, ssim_lambda=0.2)
+        mesh = make_mesh(**axes)
+        got, _ = fit_sharded(ref[None], cfg, mesh, iterations=3,
+                             log_fn=None, renderer=renderer,
+                             ssim_lambda=0.2)
+        for f in ("pos", "color", "opacity"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(got.params, f))[0],
+                np.asarray(getattr(want.params, f)),
+                rtol=1e-4, atol=2e-2, err_msg=f)
+
+    def test_scan_mesh(self):
+        self._run({"data": 1, "tile": 2, "splat": 2}, "scan")
+
+    def test_pallas_mesh(self):
+        self._run({"data": 1, "tile": 2, "splat": 2}, "pallas")
+
+    def test_pallas_tile_only(self):
+        self._run({"data": 1, "tile": 4, "splat": 1}, "pallas")
