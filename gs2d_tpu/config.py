@@ -107,8 +107,16 @@ class SplatConfig:
     # "resident": ids-only binning + whole-table-in-SMEM fused kernel with
     #   in-kernel one-hot MXU gradient expansion (no pregather, no scatter)
     #   -- small N only (see ops/render_pallas_resident.py).
+    # "window": resident with the gradient expansion restricted to a static
+    #   per-tile splat-axis window (ops/render_pallas_window.py) -- needs a
+    #   Morton-ordered population (train/reorder.py) and tuned
+    #   window_width; explicit opt-in until measured on hardware.
     # "auto" picks by n_splats (see render_pallas_flat.resolve_binning).
     binning: str = "auto"
+    # Splat-axis window width (elements, multiple of 128) for the "window"
+    # layout; None means untuned (render_pallas_window.tune_window fills
+    # it from measured per-tile id spans).
+    window_width: Optional[int] = None
     # Flat-layout statics (set by tiles_flat.tune_flat_capacity / fit()):
     # chunk rows per kernel block, total flat rows, per-tile chunk cap.
     flat_chunk: int = 256

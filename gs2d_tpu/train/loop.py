@@ -215,6 +215,10 @@ def fit(
             from gs2d_tpu.ops import tiles as _tl
 
             cfg = _tl.tune_tile_capacity(state.params, cfg)
+        if _rpf.resolve_binning(cfg) == "window" and cfg.window_width is None:
+            from gs2d_tpu.ops import render_pallas_window as _rpw
+
+            cfg = _rpw.tune_window(state.params, cfg)
         step_fn = make_train_step_fused(cfg)
         ref = rp.pad_ref_chw(jnp.asarray(ref), cfg)
     else:
@@ -354,6 +358,7 @@ def _fused_step_body(cfg: SplatConfig, with_grad_mag: bool = False):
     layout = rpf.resolve_binning(cfg)
     flat = layout == "flat"
     resident = layout == "resident"
+    window = layout == "window"
     k = None if flat else rp._max_per_tile(cfg)
 
     def tail(state, ref_chw, color, grads, n_dropped, rebinned=0):
@@ -378,6 +383,11 @@ def _fused_step_body(cfg: SplatConfig, with_grad_mag: bool = False):
                 state.params, ref_chw, cfg)
         elif resident:
             color, grads, n_dropped = rpr.l2_step_resident(
+                state.params, ref_chw, cfg, k)
+        elif window:
+            from gs2d_tpu.ops import render_pallas_window as rpw
+
+            color, grads, n_dropped = rpw.l2_step_window(
                 state.params, ref_chw, cfg, k)
         else:
             binning = tl.bin_splats(state.params, cfg, k)
