@@ -62,8 +62,12 @@ def main():
     # capacities tuned from the measured counts.
     from gs2d_tpu.ops import tiles as tl
 
+    # rebin_margin=2: lazy rebinning (bin with 2px of footprint slack, reuse
+    # ids across scan steps until a splat's exact footprint escapes; exact
+    # per-step tripwire, identical MSE trajectory). Measured on-chip
+    # 2026-08-18: 0.92 vs 1.23 ms/iter per-step-rebin, 27/200 rebins.
     cfg = SplatConfig(width=w, height=h, n_splats=1024, tile_h=32,
-                      binning="resident")
+                      binning="resident", rebin_margin=2.0)
     cfg = tl.tune_tile_capacity(init_train_state(cfg).params, cfg)
 
     on_tpu = jax.default_backend() not in ("cpu",)
