@@ -48,7 +48,8 @@ def main():
     on_tpu = jax.default_backend() not in ("cpu",)
     if on_tpu:
         cfg = tl.tune_tile_height(
-            SplatConfig(width=w, height=h, n_splats=args.splats))
+            SplatConfig(width=w, height=h, n_splats=args.splats,
+                        rebin_margin=2.0))
         cfg = tl.tune_tile_capacity(init_train_state(cfg).params, cfg)
         refj = rp.pad_ref_chw(jnp.asarray(ref), cfg)
         fit_k = make_fit_scan_fused(cfg)
@@ -62,24 +63,43 @@ def main():
     _, aux = fit_k(s0, refj, args.block)
     float(aux.mse[-1])
 
+    import numpy as np
+
+    # Dispatch blocks back-to-back (device executes them in order; the scan
+    # carry chains them) and fetch each block's MSE history one block behind,
+    # so the ~30 ms tunnel fetch RTT overlaps the next block's execution
+    # instead of serializing with it. The hit time remains an end-of-block
+    # upper bound: the wall clock when the block containing the hit has been
+    # fetched (i.e. provably complete on device).
     state = init_train_state(cfg)
     t0 = time.perf_counter()
     hit_iter, hit_time = None, None
-    done = 0
     final_mse = None
+    blocks = []  # (start_iter, n, aux) pending fetch
+    done = 0
     while done < args.iters:
         n = min(args.block, args.iters - done)
         state, aux = fit_k(state, refj, n)
-        mses = jax.device_get(aux.mse)
+        blocks.append((done, n, aux))
+        done += n
+        while len(blocks) > 1:  # keep one block in flight
+            start, bn, baux = blocks.pop(0)
+            mses = jax.device_get(baux.mse)
+            t_block = time.perf_counter() - t0
+            if hit_iter is None:
+                hits = np.nonzero(mses <= args.target_mse)[0]
+                if hits.size:
+                    hit_iter = start + int(hits[0]) + 1
+                    hit_time = t_block
+            final_mse = float(mses[-1])
+    for start, bn, baux in blocks:
+        mses = jax.device_get(baux.mse)
         t_block = time.perf_counter() - t0
         if hit_iter is None:
-            import numpy as np
-
             hits = np.nonzero(mses <= args.target_mse)[0]
             if hits.size:
-                hit_iter = done + int(hits[0]) + 1
-                hit_time = t_block  # end-of-block upper bound
-        done += n
+                hit_iter = start + int(hits[0]) + 1
+                hit_time = t_block
         final_mse = float(mses[-1])
     total = time.perf_counter() - t0
     print(json.dumps({

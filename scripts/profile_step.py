@@ -42,7 +42,10 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--scan", type=int, default=0)
     ap.add_argument("--binning", default="dense",
-                    choices=["dense", "flat", "resident"])
+                    choices=["dense", "flat", "resident", "window"])
+    ap.add_argument("--rebin-margin", type=float, default=0.0,
+                    help="lazy rebinning slack (px) for the scanned block "
+                         "(resident only)")
     ap.add_argument("--tile-h", type=int, default=0,
                     help="tile height (0 = measured-optimal policy, "
                          "tiles.tune_tile_height; SplatConfig default is 8)")
@@ -88,7 +91,7 @@ def main():
     cfg = SplatConfig(width=w, height=h, n_splats=args.splats,
                       binning=args.binning, flat_chunk=args.flat_chunk,
                       max_splats_per_tile=(args.k if args.k > 0 else None),
-                      **extra)
+                      rebin_margin=args.rebin_margin, **extra)
     state0 = init_train_state(cfg)  # init is tile_h-independent
     cfg = (tl.tune_tile_height(cfg, state0.params) if args.tile_h == 0
            else cfg.replace(tile_h=args.tile_h))
@@ -106,11 +109,17 @@ def main():
               f"tiles={cfg.n_tiles_y}x{cfg.n_tiles_x}", flush=True)
 
     state = init_train_state(cfg)  # same init; cfg tuning doesn't change it
-    if args.reorder:
+    if args.reorder or args.binning == "window":
         from gs2d_tpu.train.reorder import reorder_state
 
         state = jax.jit(lambda s: reorder_state(s, cfg))(state)
         print("population Morton-reordered", flush=True)
+    if args.binning == "window":
+        from gs2d_tpu.ops import render_pallas_window as rpw
+
+        cfg = rpw.tune_window(state.params, cfg)
+        print(f"window_width={cfg.window_width} "
+              f"(n_pad={rpw._n_pad(cfg.n_splats)})", flush=True)
     refc = rp.pad_ref_chw(jnp.asarray(ref), cfg)
 
     if args.binning == "flat":
@@ -129,7 +138,7 @@ def main():
         print(f"fwd+bwd:      {t_kern*1e3:8.2f} ms", flush=True)
     else:
         k = rp._max_per_tile(cfg)
-        ids_only = args.binning == "resident"
+        ids_only = args.binning in ("resident", "window")
         bin_fn = jax.jit(
             lambda p: tl.bin_splats(p, cfg, k, ids_only=ids_only))
         binning = bin_fn(state.params)
@@ -144,14 +153,20 @@ def main():
             kern_fn = jax.jit(lambda p: rpr.l2_step_resident(
                 p, refc, cfg, k)[:2])
             t_kern = timeit(kern_fn, state.params, iters=args.iters)
+        elif args.binning == "window":
+            from gs2d_tpu.ops import render_pallas_window as rpw
+
+            kern_fn = jax.jit(lambda p: rpw.l2_step_window(
+                p, refc, cfg, k)[:2])
+            t_kern = timeit(kern_fn, state.params, iters=args.iters)
         else:
             kern_fn = jax.jit(
                 lambda b: rp.l2_render_and_grads(b, refc, cfg.n_splats, cfg))
             t_kern = timeit(kern_fn, binning, iters=args.iters)
         print(f"fused kernel: {t_kern*1e3:8.2f} ms", flush=True)
 
-    grads = kern_fn(state.params)[1] if args.binning == "resident" \
-        else kern_fn(binning)[1]
+    grads = kern_fn(state.params)[1] \
+        if args.binning in ("resident", "window") else kern_fn(binning)[1]
     adam_fn = jax.jit(lambda s, g: adam_update(s.params, g, s.opt, cfg))
     t_adam = timeit(adam_fn, state, grads, iters=args.iters)
     print(f"adam:         {t_adam*1e3:8.2f} ms", flush=True)
