@@ -96,6 +96,25 @@ def tune_flat_capacity(
     return m, max_chunks
 
 
+def pregather_rows(ids: jax.Array, p: GaussianParams,
+                   cfg: SplatConfig) -> jax.Array:
+    """Pregather packed per-splat params onto the flat rows.
+
+    O(M) rows through the gather unit -- the only param-dependent part of
+    the flat layout, so the lazy-rebinning cache re-runs just this per
+    step while the expansion + sort structure (ids/start/count) is
+    reused. Padding rows (id -1) get numerically benign values (the same
+    pad_vals contract as ops/tiles.py)."""
+    fields_rows = jnp.transpose(tl.packed_fields(p, cfg.splat_bounds))
+    safe = jnp.where(ids >= 0, ids, 0)
+    rows = fields_rows[safe]                        # (M, F)
+    pad_vals = jnp.zeros((tl.N_FIELDS,), jnp.float32)
+    pad_vals = pad_vals.at[jnp.array([tl.FIELD_A, tl.FIELD_D, tl.FIELD_SX,
+                                      tl.FIELD_SY, tl.FIELD_COS])].set(1.0)
+    pad_vals = pad_vals.at[tl.FIELD_H].set(-1.0)
+    return jnp.where((ids >= 0)[:, None], rows, pad_vals[None, :])
+
+
 def bin_splats_flat(
     p: GaussianParams,
     cfg: SplatConfig,
@@ -105,6 +124,8 @@ def bin_splats_flat(
     max_tiles_per_splat: int | None = None,
     band_row0=0,
     band_rows: int | None = None,
+    ids_only: bool = False,
+    margin: float = 0.0,
 ) -> FlatBinning:
     """Build the flat block-aligned (tile, splat) pair layout.
 
@@ -112,6 +133,15 @@ def bin_splats_flat(
     ``max_chunks`` caps any single tile's run at max_chunks*kc entries.
     Overflow of either cap is counted in n_dropped (never silent). Band
     arguments restrict binning to a band of tile rows, as in bin_splats.
+
+    ``ids_only`` skips the per-row parameter pregather (rows comes back
+    as a (1, N_FIELDS) placeholder) -- for the lazy-rebinning cache,
+    which re-pregathers from the live params every step
+    (``pregather_rows``). ``margin`` (pixels) expands every footprint
+    (bbox AND cull test) by that slack, making the pair set a superset
+    that stays valid while splats drift less than the margin -- the same
+    contract as ``tiles.bin_splats(margin=...)``, checked by
+    ``tiles.pairs_covered_by``.
     """
     if m_cap % kc:
         raise ValueError(f"m_cap {m_cap} must be a multiple of kc {kc}")
@@ -131,7 +161,7 @@ def bin_splats_flat(
     # run-start deltas + prefix sum -- NOT E-wide gathers: the TPU gather
     # unit pays per row, and each avoided gather costs more than a cumsum.
     (tx0, tx1, ty0, ty1, offscreen), (qpx, qpy, qa, qb, qd) = \
-        tl._bbox_and_quad(p, cfg)
+        tl._bbox_and_quad(p, cfg, margin)
     band_row0 = jnp.asarray(band_row0, jnp.int32)
     offscreen = offscreen | (ty1 < band_row0) \
         | (ty0 > band_row0 + (band_rows - 1))
@@ -177,7 +207,7 @@ def bin_splats_flat(
         live_e = live_e & tl.tile_may_touch(
             fbroadcast(qpx), fbroadcast(qpy), fbroadcast(qa),
             fbroadcast(qb), fbroadcast(qd),
-            tx_e, band_row0 + ty_e, cfg)
+            tx_e, band_row0 + ty_e, cfg, margin)
     tile_e = jnp.where(live_e, tile_e, jnp.int32(n_tiles))  # dead rows last
     splat_e = jnp.where(
         live_e, splat_broadcast(jnp.arange(n, dtype=jnp.int32)), -1)
@@ -230,15 +260,8 @@ def bin_splats_flat(
         sorted_id, mode="drop")
     dropped_bbox = jnp.int32(0)  # exact expansion: bbox never truncated
 
-    # --- pregather packed params on the flat rows --------------------------
-    fields_rows = jnp.transpose(tl.packed_fields(p, cfg.splat_bounds))
-    safe = jnp.where(ids >= 0, ids, 0)
-    rows = fields_rows[safe]                        # (M, F)
-    pad_vals = jnp.zeros((tl.N_FIELDS,), jnp.float32)
-    pad_vals = pad_vals.at[jnp.array([tl.FIELD_A, tl.FIELD_D, tl.FIELD_SX,
-                                      tl.FIELD_SY, tl.FIELD_COS])].set(1.0)
-    pad_vals = pad_vals.at[tl.FIELD_H].set(-1.0)
-    rows = jnp.where((ids >= 0)[:, None], rows, pad_vals[None, :])
+    rows = (jnp.zeros((1, tl.N_FIELDS), jnp.float32) if ids_only
+            else pregather_rows(ids, p, cfg))
 
     return FlatBinning(
         ids=ids, rows=rows, start=start.astype(jnp.int32),

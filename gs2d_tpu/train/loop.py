@@ -397,6 +397,43 @@ def _fused_step_body(cfg: SplatConfig, with_grad_mag: bool = False):
         return tail(state, ref_chw, color, grads, n_dropped)
 
     one_step.layout = layout
+    if cfg.rebin_margin > 0 and flat:
+        # --- lazy rebinning, flat layout -----------------------------------
+        # The flat structure (expansion + one stable sort -> ids/start/count)
+        # is param-dependent only through the pair SET, so a margined
+        # superset is reusable across steps; the per-row parameter pregather
+        # (tiles_flat.pregather_rows, the only live-param consumer) re-runs
+        # every step. Same exact tripwire as the resident path.
+        from gs2d_tpu.ops import tiles_flat as tlf
+
+        def make_flat_cache(params):
+            b = tlf.bin_splats_flat(
+                params, cfg, cfg.flat_capacity, kc=cfg.flat_chunk,
+                max_chunks=cfg.flat_max_chunks, ids_only=True,
+                margin=cfg.rebin_margin)
+            return (b.ids, b.start, b.count, b.n_dropped, params)
+
+        def one_step_flat_cached(state: TrainState, ref_chw, cache):
+            covered = tl.pairs_covered_by(
+                state.params, cache[4], cfg, cfg.rebin_margin) \
+                & (cache[3] == 0)
+            cache = jax.lax.cond(
+                covered, lambda c: c,
+                lambda c: make_flat_cache(state.params), cache)
+            binning = tlf.FlatBinning(
+                ids=cache[0],
+                rows=tlf.pregather_rows(cache[0], state.params, cfg),
+                start=cache[1], count=cache[2], n_dropped=cache[3])
+            color, grads = rpf.l2_render_and_grads_flat(
+                binning, ref_chw, cfg.n_splats, cfg, cfg.flat_chunk,
+                cfg.flat_max_chunks)
+            new_state, aux = tail(state, ref_chw, color, grads, cache[3],
+                                  rebinned=(~covered).astype(jnp.int32))
+            return new_state, aux, cache
+
+        one_step.make_bin_cache = make_flat_cache
+        one_step.cached = one_step_flat_cached
+        return one_step
     if not (resident and cfg.rebin_margin > 0):
         return one_step
 

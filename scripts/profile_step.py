@@ -45,7 +45,9 @@ def main():
                     choices=["dense", "flat", "resident", "window"])
     ap.add_argument("--rebin-margin", type=float, default=0.0,
                     help="lazy rebinning slack (px) for the scanned block "
-                         "(resident only)")
+                         "(resident or flat)")
+    ap.add_argument("--no-cull", action="store_true",
+                    help="disable exact-ellipse tile culling in binning")
     ap.add_argument("--tile-h", type=int, default=0,
                     help="tile height (0 = measured-optimal policy, "
                          "tiles.tune_tile_height; SplatConfig default is 8)")
@@ -91,7 +93,8 @@ def main():
     cfg = SplatConfig(width=w, height=h, n_splats=args.splats,
                       binning=args.binning, flat_chunk=args.flat_chunk,
                       max_splats_per_tile=(args.k if args.k > 0 else None),
-                      rebin_margin=args.rebin_margin, **extra)
+                      rebin_margin=args.rebin_margin,
+                      exact_cull=not args.no_cull, **extra)
     state0 = init_train_state(cfg)  # init is tile_h-independent
     cfg = (tl.tune_tile_height(cfg, state0.params) if args.tile_h == 0
            else cfg.replace(tile_h=args.tile_h))
