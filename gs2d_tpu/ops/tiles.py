@@ -428,6 +428,9 @@ DEEPER_TILE_H = 128
 # at 64). Thresholds interpolate the measured points. Measured on v5e.
 DEEP_TILE_THRESHOLD = 2500.0
 DEEPER_TILE_THRESHOLD = 5000.0
+# Mean vertical bbox span (in 32-row tiles) below which taller tiles cannot
+# reduce M and therefore never escalate (see tune_tile_height).
+TALL_TILE_MIN_SPAN = 1.5
 
 
 def tune_tile_height(cfg: SplatConfig,
@@ -457,16 +460,30 @@ def tune_tile_height(cfg: SplatConfig,
     if p is None:
         return cfg32
 
-    def mean_depth(q):
+    def depth_and_span(q):
         tx0, tx1, ty0, ty1, off = splat_tile_bbox(q, cfg32)
-        pairs = jnp.sum(jnp.where(off, 0, (tx1 - tx0 + 1) * (ty1 - ty0 + 1)))
-        return pairs / jnp.float32(cfg32.n_tiles_x * cfg32.n_tiles_y)
+        h_t = ty1 - ty0 + 1
+        live = ~off
+        pairs = jnp.sum(jnp.where(live, (tx1 - tx0 + 1) * h_t, 0))
+        span = jnp.sum(jnp.where(live, h_t, 0)) / jnp.maximum(
+            jnp.sum(live.astype(jnp.int32)), 1)
+        return pairs / jnp.float32(cfg32.n_tiles_x * cfg32.n_tiles_y), span
 
-    depth = float(jax.device_get(jax.jit(mean_depth)(p)))
-    if depth > DEEPER_TILE_THRESHOLD:
-        return cfg.replace(tile_h=DEEPER_TILE_H)
-    if depth > DEEP_TILE_THRESHOLD:
-        return cfg.replace(tile_h=DEEP_TILE_H)
+    depth, span = (float(x) for x in
+                   jax.device_get(jax.jit(depth_and_span)(p)))
+    # Escalating tile height only pays when it can SHRINK the pair count M
+    # (the flat layout's dominant O(pairs) pregather/scatter cost): a splat
+    # spanning ~1 tile row at 32 keeps the same M under 64/128-row tiles,
+    # which then only add masked boundary rows. Measured (2026-08-19,
+    # 1080p/1M pixel-scale init, mean span 1.2, depth 4900/32-row tile):
+    # the old depth-only rule picked 64 and LOST 1.33x (841 vs 629 ms/iter
+    # at tile_h=32); sigma-6-10 init (span ~2.5, depth 6534) keeps winning
+    # with 64/128 (1.70 -> 0.47 s, BASELINE.md round-2 sweep).
+    if span > TALL_TILE_MIN_SPAN:
+        if depth > DEEPER_TILE_THRESHOLD:
+            return cfg.replace(tile_h=DEEPER_TILE_H)
+        if depth > DEEP_TILE_THRESHOLD:
+            return cfg.replace(tile_h=DEEP_TILE_H)
     return cfg32
 
 

@@ -156,10 +156,15 @@ def bin_splats_flat(
 
     # --- exact-count pair expansion ---------------------------------------
     # Each splat owns a run of exactly w*h rows in the expansion array (no
-    # per-splat slot cap, so large splats are never bbox-truncated). All
-    # per-splat values are broadcast onto the E rows with a scatter of
-    # run-start deltas + prefix sum -- NOT E-wide gathers: the TPU gather
-    # unit pays per row, and each avoided gather costs more than a cumsum.
+    # per-splat slot cap, so large splats are never bbox-truncated). The
+    # row -> owning-splat map is built with ONE scatter+cumsum (+1 at every
+    # run start; coincident starts of empty splats telescope so empty runs
+    # are skipped); every other per-splat value then arrives through ONE
+    # multi-channel row gather. Measured on v5e (2026-08-19, N=1M, E=2M):
+    # a scatter+cumsum broadcast costs ~10 ms PER CHANNEL while a whole
+    # (E, 12) row gather is ~16 ms -- the gather unit pays per row, not
+    # per element, so above one channel the gather wins (the original
+    # per-channel-broadcast design predates the cull's 5 float channels).
     (tx0, tx1, ty0, ty1, offscreen), (qpx, qpy, qa, qb, qd) = \
         tl._bbox_and_quad(p, cfg, margin)
     band_row0 = jnp.asarray(band_row0, jnp.int32)
@@ -175,42 +180,35 @@ def bin_splats_flat(
     e_cap = m_cap                                   # expansion capacity
     dropped_exp = jnp.maximum(total - e_cap, 0)
 
-    def splat_broadcast(vals):
-        """vals[owner(e)] for each expansion row e (deltas + cumsum)."""
-        vals = vals.astype(jnp.int32)
-        out = jnp.zeros((e_cap,), jnp.int32).at[starts[1:]].add(
-            vals[1:] - vals[:-1], mode="drop")      # starts >= e_cap drop
-        out = out.at[0].add(vals[0])
-        return jnp.cumsum(out)
-
     e = jnp.arange(e_cap, dtype=jnp.int32)
     live_e = e < total
-    rank = e - splat_broadcast(starts)
-    wb = jnp.maximum(splat_broadcast(w_t), 1)
+    owner_inc = jnp.zeros((e_cap,), jnp.int32).at[starts[1:]].add(
+        1, mode="drop")                             # starts >= e_cap drop
+    owner = jnp.cumsum(owner_inc)                   # (E,) splat per row
+
+    chans = [starts, w_t, ty0, tx0]
+    if cfg.exact_cull:
+        bc = lambda v: jax.lax.bitcast_convert_type(
+            v.astype(jnp.float32), jnp.int32)
+        chans += [bc(qpx), bc(qpy), bc(qa), bc(qb), bc(qd)]
+    ch = jnp.stack(chans, axis=1)[owner]            # ONE (E, C) row gather
+
+    rank = e - ch[:, 0]
+    wb = jnp.maximum(ch[:, 1], 1)
     ly = rank // wb
     lx = rank - ly * wb
-    ty_e = splat_broadcast(ty0) + ly
-    tx_e = splat_broadcast(tx0) + lx
+    ty_e = ch[:, 2] + ly
+    tx_e = ch[:, 3] + lx
     tile_e = ty_e * cfg.n_tiles_x + tx_e
     if cfg.exact_cull:
-        # Exact-ellipse tile culling (tiles.tile_may_touch): per-splat float
-        # params are broadcast onto the expansion rows through the same
-        # deltas+cumsum trick via their int32 bit patterns -- integer delta
-        # telescoping is exact (wraparound included), so every row sees the
-        # exact f32 bits, with no E-wide gather.
-        def fbroadcast(v):
-            bits = jax.lax.bitcast_convert_type(
-                v.astype(jnp.float32), jnp.int32)
-            return jax.lax.bitcast_convert_type(
-                splat_broadcast(bits), jnp.float32)
-
+        # Exact-ellipse tile culling (tiles.tile_may_touch) on the exact
+        # f32 bit patterns fetched by the row gather.
+        fc = lambda i: jax.lax.bitcast_convert_type(ch[:, i], jnp.float32)
         live_e = live_e & tl.tile_may_touch(
-            fbroadcast(qpx), fbroadcast(qpy), fbroadcast(qa),
-            fbroadcast(qb), fbroadcast(qd),
+            fc(4), fc(5), fc(6), fc(7), fc(8),
             tx_e, band_row0 + ty_e, cfg, margin)
     tile_e = jnp.where(live_e, tile_e, jnp.int32(n_tiles))  # dead rows last
-    splat_e = jnp.where(
-        live_e, splat_broadcast(jnp.arange(n, dtype=jnp.int32)), -1)
+    splat_e = jnp.where(live_e, owner, -1)
 
     # --- one stable sort by tile id ---------------------------------------
     # Expansion rows are in ascending splat order, so a stable sort on the
@@ -240,22 +238,16 @@ def bin_splats_flat(
     start = jnp.minimum(start_raw, m_cap)
 
     # --- scatter sorted rows to their block-aligned flat positions --------
-    # Sorted row p of tile t lands at start[t] + (p - run_start[t]); the
-    # per-tile offset (start[t] - run_start[t]) and the rank cap count[t]
-    # are broadcast onto the E rows with the same deltas+cumsum trick
-    # (scatter positions run_start[t]; coincident starts of empty tiles
-    # telescope correctly).
-    def tile_broadcast(vals):
-        vals = vals.astype(jnp.int32)
-        out = jnp.zeros((e_cap,), jnp.int32).at[run_start[1:]].add(
-            vals[1:] - vals[:-1], mode="drop")
-        out = out.at[0].add(vals[0])
-        return jnp.cumsum(out)
-
+    # Sorted row p of tile t lands at start[t] + (p - run_start[t]). The
+    # per-tile values arrive through one (E, 3) row gather keyed on
+    # sorted_tile (the sorted keys ARE the owning tile ids -- no broadcast
+    # needed at all; dead rows carry key n_tiles, clamped then masked).
+    tch = jnp.stack([run_start, count, start], axis=1)[
+        jnp.minimum(sorted_tile, n_tiles - 1)]
     p_iota = jnp.arange(e_cap, dtype=jnp.int32)
-    rank_t = p_iota - tile_broadcast(run_start)
-    valid = (sorted_tile < n_tiles) & (rank_t < tile_broadcast(count))
-    dest = jnp.where(valid, tile_broadcast(start) + rank_t, m_cap)
+    rank_t = p_iota - tch[:, 0]
+    valid = (sorted_tile < n_tiles) & (rank_t < tch[:, 1])
+    dest = jnp.where(valid, tch[:, 2] + rank_t, m_cap)
     ids = jnp.full((m_cap,), jnp.int32(-1)).at[dest].set(
         sorted_id, mode="drop")
     dropped_bbox = jnp.int32(0)  # exact expansion: bbox never truncated

@@ -193,3 +193,16 @@ class TestTileHeightPolicy:
         assert tune_tile_height(
             shallow, init_params(shallow)).tile_h == PRODUCTION_TILE_H
         assert tune_tile_height(deep).tile_h == PRODUCTION_TILE_H
+
+    def test_span_gate(self):
+        """Pixel-scale populations (mean vertical span ~1 tile) never
+        escalate, no matter how deep: taller tiles cannot shrink M there
+        (measured LOSS 1.33x at 1080p/1M px-init, see tune_tile_height)."""
+        from gs2d_tpu.config import SplatConfig
+        from gs2d_tpu.ops.tiles import PRODUCTION_TILE_H, tune_tile_height
+        from gs2d_tpu.params import init_params
+
+        px = SplatConfig(width=1920, height=1080, n_splats=1048576,
+                         init_scale_min=1.0, init_scale_max=2.0)
+        assert tune_tile_height(px, init_params(px)).tile_h \
+            == PRODUCTION_TILE_H
