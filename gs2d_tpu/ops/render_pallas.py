@@ -285,14 +285,15 @@ def _bwd_splat_step(params_ref, k, fx, fy, xx, yy, inside, cfg,
         params_ref, k, fx, fy, xx, yy, inside, T, cfg)
     mw = live.astype(jnp.float32)
 
-    # dL/dc = sum gC * alpha * T (main.cpp:617-620)
+    # dL/dc = sum gC * alpha * T (main.cpp:617-620). The same masked weight
+    # drives the replay composite below (alpha*T*1.0 and the select form
+    # are bitwise equal for finite alpha, T).
     w_c = alpha * T * mw
 
     # Replay composite; suffix color S = final - prefix (main.cpp:622-627).
-    w = jnp.where(live, T * alpha, jnp.float32(0.0))
-    cr_acc = cr_acc + w * s["cr"]
-    cg_acc = cg_acc + w * s["cg"]
-    cb_acc = cb_acc + w * s["cb"]
+    cr_acc = cr_acc + w_c * s["cr"]
+    cg_acc = cg_acc + w_c * s["cg"]
+    cb_acc = cb_acc + w_c * s["cb"]
 
     # (1 - alpha + 1e-15) guard, reassociation-proof (see render_jax).
     inv1ma = jnp.float32(1.0) / jnp.where(
@@ -319,8 +320,14 @@ def _bwd_splat_step(params_ref, k, fx, fy, xx, yy, inside, cfg,
     # them for bit-faithfulness, the kernels use the cheap factorization).
     u = cosT * vx + sinT * vy
     w = sinT * vx - cosT * vy
-    dal_dsx = alpha / (sx * sx * sx) * (u * u)
-    dal_dsy = alpha / (sy * sy * sy) * (w * w)
+    # 1/sx^3, 1/sy^3 are per-splat: computed on the scalar unit (rank-0
+    # operands), turning two tile-wide vector divisions into multiplies.
+    # Gradients shift <= 1 ulp (allclose-tested); every kernel family
+    # shares this step, so cross-path bitwise equality is preserved.
+    inv_sx3 = jnp.float32(1.0) / (sx * sx * sx)
+    inv_sy3 = jnp.float32(1.0) / (sy * sy * sy)
+    dal_dsx = alpha * inv_sx3 * (u * u)
+    dal_dsy = alpha * inv_sy3 * (w * w)
     dal_dth = -alpha * (sx * sx - sy * sy) / (sx * sx * sy * sy) * (u * w)
 
     # Nine tile-wide sums, batched: sublane-reduce each, stack, ONE
