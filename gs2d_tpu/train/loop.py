@@ -667,8 +667,7 @@ def make_batched_train_step_fused(cfg: SplatConfig):
         mse = mse_255(color, ref_crop)
         return new_params, new_opt, mse, n_dropped
 
-    @jax.jit
-    def train_step(state: TrainState, refs_chw: jax.Array):
+    def body(state: TrainState, refs_chw: jax.Array):
         params, opt, mse, n_drop = jax.vmap(one_image)(
             state.params, state.opt, refs_chw)
         finite = jnp.all(
@@ -681,4 +680,23 @@ def make_batched_train_step_fused(cfg: SplatConfig):
             all_finite=jnp.broadcast_to(finite, mse.shape),
             n_dropped=jnp.sum(n_drop))
 
+    train_step = jax.jit(body)
+    train_step.body = body
     return train_step
+
+
+def make_fit_scan_batched(cfg: SplatConfig):
+    """On-device multi-iteration batched fitter: ``lax.scan`` of the
+    vmapped fused step (one device program fits B independent images for
+    n_iters iterations -- the single-chip production shape for the
+    data-parallel axis, matching make_fit_scan_fused's contract)."""
+    body = make_batched_train_step_fused(cfg).body
+
+    @functools.partial(jax.jit, static_argnames=("n_iters",))
+    def fit_k(state: TrainState, refs_chw: jax.Array, n_iters: int):
+        def f(st, _):
+            return body(st, refs_chw)
+
+        return jax.lax.scan(f, state, None, length=n_iters)
+
+    return fit_k

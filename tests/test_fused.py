@@ -145,6 +145,33 @@ class TestBatchedFused:
                     np.asarray(getattr(out_i.params, f)), atol=1e-6)
 
 
+class TestBatchedScanFitter:
+    def test_scan_matches_stepped(self, rng):
+        """The batched scan fitter == iterating the batched step."""
+        from gs2d_tpu.parallel.sharded import init_batched_state
+        from gs2d_tpu.train.loop import (make_batched_train_step_fused,
+                                         make_fit_scan_batched)
+
+        cfg = SplatConfig(width=W, height=H, n_splats=32,
+                          max_splats_per_tile=32)
+        refs = np.stack([synthetic_target(H, W, seed=s) for s in (0, 2)])
+        refs_chw = jnp.stack([rp.pad_ref_chw(jnp.asarray(r), cfg)
+                              for r in refs])
+        state = init_batched_state(cfg, 2)
+
+        s_scan, auxes = make_fit_scan_batched(cfg)(state, refs_chw, 5)
+        bstep = make_batched_train_step_fused(cfg)
+        s_it = state
+        for _ in range(5):
+            s_it, aux = bstep(s_it, refs_chw)
+        np.testing.assert_allclose(np.asarray(auxes.mse[-1]),
+                                   np.asarray(aux.mse), rtol=1e-6)
+        for f in ("pos", "color", "opacity"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(s_scan.params, f)),
+                np.asarray(getattr(s_it.params, f)), atol=1e-6, err_msg=f)
+
+
 class TestMxuVariant:
     def test_matches_scan_path_interpret(self, rng):
         """Experimental MXU formulation: allclose (not bitwise -- d2 comes
