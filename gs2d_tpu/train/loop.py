@@ -668,8 +668,15 @@ def make_batched_train_step_fused(cfg: SplatConfig):
         return new_params, new_opt, mse, n_dropped
 
     def body(state: TrainState, refs_chw: jax.Array):
-        params, opt, mse, n_drop = jax.vmap(one_image)(
-            state.params, state.opt, refs_chw)
+        # lax.map, not vmap: vmap over the pallas_call adds a squeezed
+        # batch dim to the rank-1 SMEM count block, which the Mosaic
+        # lowering rejects on real TPUs ("block shape (Squeezed(),
+        # Blocked(21))... in memory space smem", found 2026-08-19 -- the
+        # interpret-mode CPU tests never lower so they can't catch it).
+        # The images are independent; on one chip the batch executes
+        # sequentially either way (vmap's extra grid dim is also serial).
+        params, opt, mse, n_drop = jax.lax.map(
+            lambda t: one_image(*t), (state.params, state.opt, refs_chw))
         finite = jnp.all(
             jnp.array(
                 [jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree.leaves(params)]
