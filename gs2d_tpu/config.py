@@ -90,6 +90,16 @@ class SplatConfig:
     # shifts unrolled-loop boundaries where XLA's excess-precision rounding
     # may move, same as the documented across-tile_h drift).
     exact_cull: bool = True
+    # Cache the forward's masked Gaussian term per (slot, tile) in VMEM
+    # scratch so the fused kernels' backward replay skips the whole
+    # coverage re-derivation (bounds + ellipse quadratic + exp_approx,
+    # ~45 vector ops per pair-step) -- bitwise-identical (alpha = G * op
+    # is exactly how the forward built alpha; masked pairs carry G == 0
+    # and every gradient contribution is proportional to alpha or G).
+    # Applies to the non-chunked fused and resident kernels when the
+    # (K, tile_h, tile_w) f32 buffer fits render_pallas.GCACHE_BUDGET_BYTES;
+    # the chunked/flat kernels always re-derive (unbounded K).
+    alpha_cache: bool = True
     # Lazy rebinning (net-new): when > 0, the scan fitter bins with this
     # many pixels of footprint slack and reuses the binning across steps
     # until some splat's exact footprint escapes its slack

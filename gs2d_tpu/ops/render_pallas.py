@@ -209,10 +209,16 @@ def _saturating_loop(n_live, u, step, carry, get_t, mt, k_cap,
     return jax.lax.while_loop(cond, body, (jnp.int32(0), carry))[1]
 
 
-def _fwd_one(params_ref, k, fx, fy, xx, yy, inside, cfg, carry):
+def _fwd_one(params_ref, k, fx, fy, xx, yy, inside, cfg, carry,
+             gcache_ref=None):
     cr_acc, cg_acc, cb_acc, T = carry
-    live, alpha, _, _, _, s = _splat_terms(
+    live, alpha, G, _, _, s = _splat_terms(
         params_ref, k, fx, fy, xx, yy, inside, T, cfg)
+    if gcache_ref is not None:
+        # Masked Gaussian term for the backward replay (see
+        # _bwd_splat_step_cached): alpha = G * op reconstructs bitwise,
+        # and G == 0 pairs contribute exactly zero to every gradient.
+        gcache_ref[k] = jnp.where(live, G, jnp.float32(0.0))
     w = jnp.where(live, T * alpha, jnp.float32(0.0))
     return (cr_acc + w * s["cr"], cg_acc + w * s["cg"], cb_acc + w * s["cb"],
             jnp.where(live, T * (jnp.float32(1.0) - alpha), T))
@@ -345,6 +351,87 @@ def _bwd_splat_step(params_ref, k, fx, fy, xx, yy, inside, cfg,
 
     T = jnp.where(live, T * (jnp.float32(1.0) - alpha), T)
     return (cr_acc, cg_acc, cb_acc, T), col
+
+
+def _bwd_splat_step_cached(params_ref, k, fx, fy, cfg, carry, fin_rgb,
+                           gc_rgb, gcache_ref):
+    """_bwd_splat_step from the forward's cached masked Gaussian term.
+
+    The fused kernels' backward replays the SAME composite the forward
+    just built, so ``gcache_ref[k]`` (masked G stored by _fwd_one)
+    reconstructs alpha = G * op bitwise and replaces the whole
+    _splat_terms re-derivation -- bounds, the per-row ellipse quadratic,
+    and exp_approx (~45 vector ops per pair-step) become one VMEM load.
+    Pairs masked at forward time carry G == 0 and contribute exact zeros
+    to every gradient (all contributions are proportional to alpha or G),
+    so the live mask reduces to m_G > 0."""
+    cr_acc, cg_acc, cb_acc, T = carry
+    fin_r, fin_g, fin_b = fin_rgb
+    gc_r, gc_g, gc_b = gc_rgb
+    f = lambda i: params_ref[0, k, i]
+    px, py = f(tl.FIELD_PX), f(tl.FIELD_PY)
+    a, b, d = f(tl.FIELD_A), f(tl.FIELD_B), f(tl.FIELD_D)
+    cr, cg, cb = f(tl.FIELD_CR), f(tl.FIELD_CG), f(tl.FIELD_CB)
+    sx, sy = f(tl.FIELD_SX), f(tl.FIELD_SY)
+    cosT, sinT = f(tl.FIELD_COS), f(tl.FIELD_SIN)
+    op = f(tl.FIELD_OP)
+
+    m_G = gcache_ref[k]
+    alpha = m_G * op                      # bitwise the forward's alpha
+    mw = (m_G > jnp.float32(0.0)).astype(jnp.float32)
+    vy = fy - py
+    vx = fx - px
+
+    w_c = alpha * T
+    cr_acc = cr_acc + w_c * cr
+    cg_acc = cg_acc + w_c * cg
+    cb_acc = cb_acc + w_c * cb
+
+    inv1ma = jnp.float32(1.0) / jnp.where(
+        alpha >= jnp.float32(1.0), jnp.float32(1e-15),
+        jnp.float32(1.0) - alpha)
+    dL_da = (
+        gc_r * (cr * T - (fin_r - cr_acc) * inv1ma)
+        + gc_g * (cg * T - (fin_g - cg_acc) * inv1ma)
+        + gc_b * (cb * T - (fin_b - cb_acc) * inv1ma)
+    ) * mw
+
+    dal_dx = alpha * (a * vx + b * vy)
+    dal_dy = alpha * (d * vy + b * vx)
+    u = cosT * vx + sinT * vy
+    w = sinT * vx - cosT * vy
+    inv_sx3 = jnp.float32(1.0) / (sx * sx * sx)
+    inv_sy3 = jnp.float32(1.0) / (sy * sy * sy)
+    dal_dsx = alpha * inv_sx3 * (u * u)
+    dal_dsy = alpha * inv_sy3 * (w * w)
+    dal_dth = -alpha * (sx * sx - sy * sy) / (sx * sx * sy * sy) * (u * w)
+
+    qs = [
+        dL_da * dal_dx, dL_da * dal_dy,
+        dL_da * dal_dsx, dL_da * dal_dsy,
+        dL_da * dal_dth,
+        gc_r * w_c, gc_g * w_c, gc_b * w_c,
+        dL_da * m_G,
+    ]
+    stacked = jnp.concatenate(
+        [jnp.sum(q, axis=0, keepdims=True) for q in qs], axis=0)
+    col = jnp.sum(stacked, axis=1, keepdims=True)                 # (9, 1)
+
+    T = jnp.where(m_G > jnp.float32(0.0),
+                  T * (jnp.float32(1.0) - alpha), T)
+    return (cr_acc, cg_acc, cb_acc, T), col
+
+
+# Cache the forward's masked G per (slot, tile) in VMEM scratch when the
+# whole (K, tile_h, tile_w) f32 buffer fits this budget; above it, the
+# backward re-derives (the chunked kernels always re-derive -- their K is
+# unbounded).
+GCACHE_BUDGET_BYTES = 6 * 1024 * 1024
+
+
+def _use_gcache(cfg: SplatConfig, k_cap: int) -> bool:
+    return (cfg.alpha_cache
+            and k_cap * cfg.tile_h * cfg.tile_w * 4 <= GCACHE_BUDGET_BYTES)
 
 
 def _fwd_chunked_kernel(off_ref, count_ref, params_ref, color_ref, trans_ref,
@@ -675,12 +762,15 @@ render.defvjp(_render_fwd, _render_bwd)
 # ---------------------------------------------------------------------------
 
 def _l2_fused_kernel(off_ref, count_ref, params_ref, ref_ref, color_ref,
-                     grads_ref, *, cfg: SplatConfig):
+                     grads_ref, gcache_ref=None, *, cfg: SplatConfig):
     """One grid step per tile: composite the tile (pass 1), form the L2
     cotangent gC = C - ref in registers (the reference's dL/dC,
     main.cpp:616), then replay for gradients (pass 2). Halves kernel
     dispatches and keeps fin/gC entirely on-chip. ``off_ref`` holds the
-    global pixel row of the band's first row (0 for a full image)."""
+    global pixel row of the band's first row (0 for a full image).
+    With ``gcache_ref`` (VMEM scratch, (K, th, tw)) the forward stores
+    each pair's masked Gaussian term and the replay runs
+    _bwd_splat_step_cached (bitwise-equal, ~45 fewer vector ops/pair)."""
     yy, xx, fy, fx, inside = _tile_coords(cfg, off_ref[0])
     th, tw = cfg.tile_h, cfg.tile_w
     n_live = count_ref[pl.program_id(0) * cfg.n_tiles_x + pl.program_id(1)]
@@ -690,7 +780,8 @@ def _l2_fused_kernel(off_ref, count_ref, params_ref, ref_ref, color_ref,
     mt = jnp.float32(cfg.min_throughput)
 
     def fwd_step(k, carry):
-        return _fwd_one(params_ref, k, fx, fy, xx, yy, inside, cfg, carry)
+        return _fwd_one(params_ref, k, fx, fy, xx, yy, inside, cfg, carry,
+                        gcache_ref)
 
     zero = jnp.zeros((th, tw), jnp.float32)
     t0 = inside.astype(jnp.float32)
@@ -711,8 +802,13 @@ def _l2_fused_kernel(off_ref, count_ref, params_ref, ref_ref, color_ref,
 
     def bwd_step(k, carry):
         comp, gacc = carry
-        comp, col = _bwd_splat_step(params_ref, k, fx, fy, xx, yy, inside,
-                                    cfg, comp, fin_rgb, gc_rgb)
+        if gcache_ref is not None:
+            comp, col = _bwd_splat_step_cached(
+                params_ref, k, fx, fy, cfg, comp, fin_rgb, gc_rgb,
+                gcache_ref)
+        else:
+            comp, col = _bwd_splat_step(params_ref, k, fx, fy, xx, yy,
+                                        inside, cfg, comp, fin_rgb, gc_rgb)
         oh = (lane == k).astype(jnp.float32)
         return comp, gacc + col * oh
 
@@ -799,6 +895,8 @@ def l2_render_and_grads(
             jax.ShapeDtypeStruct((1, 3, hp, cfg.padded_width), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, N_GRAD_FIELDS, k), jnp.float32),
         ],
+        scratch_shapes=([pltpu.VMEM((k, th, tw), jnp.float32)]
+                        if _use_gcache(cfg, k) else []),
         interpret=interpret,
     )(off, binning.count, binning.tile_params, ref_chw)
 

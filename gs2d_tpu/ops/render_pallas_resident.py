@@ -49,9 +49,10 @@ from gs2d_tpu.config import SplatConfig
 from gs2d_tpu.ops import tiles as tl
 from gs2d_tpu.ops.render_pallas import (G_CB, G_CG, G_CR, G_OP, G_PX, G_PY,
                                         G_ROT, G_SX, G_SY, N_GRAD_FIELDS,
-                                        _bwd_splat_step, _fwd_one,
-                                        _saturating_loop, _should_interpret,
-                                        _tile_coords, _unrolled)
+                                        _bwd_splat_step, _bwd_splat_step_cached,
+                                        _fwd_one, _saturating_loop,
+                                        _should_interpret, _tile_coords,
+                                        _unrolled, _use_gcache)
 from gs2d_tpu.params import GaussianParams
 
 
@@ -84,8 +85,8 @@ class _TableView:
 
 
 def _l2_resident_kernel(off_ref, count_ref, table_ref, ids_ref, idc_ref,
-                        ref_ref, color_ref, grads_ref, *, cfg: SplatConfig,
-                        n_pad: int):
+                        ref_ref, color_ref, grads_ref, gcache_ref=None,
+                        *, cfg: SplatConfig, n_pad: int):
     """Fused L2 forward + cotangent + backward with a resident parameter
     table (SMEM) and a resident gradient accumulator (VMEM, revisited by
     every grid step). Mirrors render_pallas._l2_fused_kernel otherwise;
@@ -108,7 +109,8 @@ def _l2_resident_kernel(off_ref, count_ref, table_ref, ids_ref, idc_ref,
     mt = jnp.float32(cfg.min_throughput)
 
     def fwd_step(k, carry):
-        return _fwd_one(view, k, fx, fy, xx, yy, inside, cfg, carry)
+        return _fwd_one(view, k, fx, fy, xx, yy, inside, cfg, carry,
+                        gcache_ref)
 
     zero = jnp.zeros((th, tw), jnp.float32)
     t0 = inside.astype(jnp.float32)
@@ -128,8 +130,12 @@ def _l2_resident_kernel(off_ref, count_ref, table_ref, ids_ref, idc_ref,
 
     def bwd_step(k, carry):
         comp, gacc = carry
-        comp, col = _bwd_splat_step(view, k, fx, fy, xx, yy, inside,
-                                    cfg, comp, fin_rgb, gc_rgb)
+        if gcache_ref is not None:
+            comp, col = _bwd_splat_step_cached(
+                view, k, fx, fy, cfg, comp, fin_rgb, gc_rgb, gcache_ref)
+        else:
+            comp, col = _bwd_splat_step(view, k, fx, fy, xx, yy, inside,
+                                        cfg, comp, fin_rgb, gc_rgb)
         oh = (lane == k).astype(jnp.float32)
         return comp, gacc + col * oh
 
@@ -236,6 +242,8 @@ def l2_render_and_grads_resident(
             jax.ShapeDtypeStruct((1, 3, hp, cfg.padded_width), jnp.float32),
             jax.ShapeDtypeStruct((N_GRAD_FIELDS, n_pad), jnp.float32),
         ],
+        scratch_shapes=([pltpu.VMEM((k, th, tw), jnp.float32)]
+                        if _use_gcache(cfg, k) else []),
         interpret=interpret,
     )(off, binning.count, table, ids_s, idc, ref_chw)
 

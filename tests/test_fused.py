@@ -120,6 +120,41 @@ class TestFusedKernel:
         assert float(aux.mse) < first * 0.7
 
 
+class TestGCache:
+    @pytest.mark.parametrize("binning", ["dense", "resident"])
+    def test_cached_backward_matches(self, rng, binning):
+        """The G-cache replay (alpha_cache=True) computes the SAME math as
+        the re-deriving backward: alpha = G * op is exactly how the
+        forward built alpha, and masked pairs (G == 0) contribute exact
+        zeros to every gradient term. A pure-jnp step-by-step replica of
+        both backward loops is bitwise identical (verified while building
+        this); through two different compiled kernel programs XLA's
+        excess-precision fusion drifts ~1 ulp (the same documented
+        phenomenon as the across-tile_h forward drift), so the
+        whole-kernel assert uses that standard. The forward color is
+        bitwise (same program structure)."""
+        cfg, p, ref = case(rng, 96)
+        cfg = cfg.replace(tile_h=32, binning=binning)
+        refc = rp.pad_ref_chw(jnp.asarray(ref), cfg)
+
+        def run(alpha_cache):
+            c = cfg.replace(alpha_cache=alpha_cache)
+            if binning == "resident":
+                from gs2d_tpu.ops import render_pallas_resident as rpr
+
+                return rpr.l2_step_resident(p, refc, c, 96)[:2]
+            b = tl.bin_splats(p, c, 96)
+            return rp.l2_render_and_grads(b, refc, 96, c)
+
+        (C_c, g_c), (C_u, g_u) = run(True), run(False)
+        np.testing.assert_array_equal(np.asarray(C_c), np.asarray(C_u))
+        for f in ("pos", "sx", "sy", "rot", "color", "opacity"):
+            a = np.asarray(getattr(g_u, f))
+            atol = 1e-5 * max(1.0, np.abs(a).max())
+            np.testing.assert_allclose(
+                np.asarray(getattr(g_c, f)), a, atol=atol, err_msg=f)
+
+
 class TestBatchedFused:
     def test_batch_matches_per_image(self, rng):
         from gs2d_tpu.parallel.sharded import init_batched_state
