@@ -93,9 +93,13 @@ class SplatConfig:
     # Cache the forward's masked Gaussian term per (slot, tile) in VMEM
     # scratch so the fused kernels' backward replay skips the whole
     # coverage re-derivation (bounds + ellipse quadratic + exp_approx,
-    # ~45 vector ops per pair-step) -- bitwise-identical (alpha = G * op
-    # is exactly how the forward built alpha; masked pairs carry G == 0
-    # and every gradient contribution is proportional to alpha or G).
+    # ~45 vector ops per pair-step). Mathematically identical: alpha =
+    # G * op is exactly how the forward built alpha, masked pairs carry
+    # G == 0, and every gradient contribution is proportional to alpha or
+    # G; the smaller expression tree fuses differently under XLA, so
+    # compiled gradients drift <= 1 ulp vs the re-deriving kernels (same
+    # class as the across-tile_h drift). Measured on v5e: 0.709 vs 0.875
+    # ms/iter on the production mini workload (scripts/ab_gcache.py).
     # Applies to the non-chunked fused and resident kernels when the
     # (K, tile_h, tile_w) f32 buffer fits render_pallas.GCACHE_BUDGET_BYTES;
     # the chunked/flat kernels always re-derive (unbounded K).

@@ -107,11 +107,21 @@ def tune_flat_config(p: GaussianParams, cfg: SplatConfig,
     """Fill cfg.flat_capacity / flat_max_chunks from measured tile counts.
 
     ``n_bands`` sizes for per-device banded binning under tile-axis
-    sharding (see tiles_flat.tune_flat_capacity)."""
+    sharding (see tiles_flat.tune_flat_capacity).
+
+    With lazy rebinning on (cfg.rebin_margin > 0) this also (a) sizes the
+    tripwire slot grid: tiles.pairs_covered_by enumerates exact footprints
+    on a max_tiles_per_splat grid and conservatively rebins EVERY step
+    once any splat exceeds it -- a cap the flat layout itself deliberately
+    doesn't have, so it must be measured, not defaulted; and (b) measures
+    capacity with the margined footprints, so the superset binning the
+    lazy cache builds can never overflow a capacity sized for margin 0."""
     from gs2d_tpu.ops.tiles_flat import tune_flat_capacity
 
+    if cfg.rebin_margin > 0:
+        cfg = tl.tune_max_tiles_per_splat(p, cfg)
     m, mc = tune_flat_capacity(p, cfg, kc=cfg.flat_chunk, margin=margin,
-                               n_bands=n_bands)
+                               n_bands=n_bands, bin_margin=cfg.rebin_margin)
     return cfg.replace(flat_capacity=m, flat_max_chunks=mc)
 
 

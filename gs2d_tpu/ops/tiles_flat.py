@@ -68,6 +68,7 @@ def tune_flat_capacity(
     kc: int = 256,
     margin: float = 1.5,
     n_bands: int = 1,
+    bin_margin: float = 0.0,
 ) -> tuple[int, int]:
     """Measure tile counts and pick (M rows, max chunks per tile).
 
@@ -78,9 +79,17 @@ def tune_flat_capacity(
     ``n_bands > 1`` sizes for banded binning under tile-axis sharding: each
     band of ``n_tiles_y / n_bands`` tile rows is binned separately per
     device, so the (SPMD-uniform) capacity is the max over bands.
+
+    ``bin_margin`` measures with that many pixels of footprint slack --
+    lazy-rebinning callers (cfg.rebin_margin > 0) bin a margined superset,
+    which must be sized AS the superset: capacity tuned from margin-0
+    counts can overflow on the very first margined bin, making the lazy
+    cache permanently invalid (n_dropped > 0 forces a rebin every step
+    while still dropping pairs).
     """
     counts = jax.jit(
-        lambda q: tl.bin_splats(q, cfg, 1, counts_only=True))(p)
+        lambda q: tl.bin_splats(q, cfg, 1, counts_only=True,
+                                margin=bin_margin))(p)
     counts = jax.device_get(counts)
     if n_bands > 1:
         if cfg.n_tiles_y % n_bands:

@@ -304,6 +304,7 @@ def _fit_scanned(
     history = []
     t0 = time.perf_counter()
     warned_drop = False
+    warned_rebin = False
     done = 0
     while done < iterations:
         n = min(scan_chunk, iterations - done)
@@ -325,6 +326,22 @@ def _fit_scanned(
                 if log_fn:
                     log_fn(f"WARNING: binning capacity overflow: {total_drop}"
                            " splat-tile pairs dropped in this block")
+        if not warned_rebin and cfg.rebin_margin > 0 and n >= 8:
+            # Lazy rebinning should mostly hit the cache; a block where
+            # EVERY step rebinds means the tripwire never validates (a
+            # footprint exceeds the slot grid, or the margined binning
+            # drops pairs) -- strictly worse than rebin_margin=0, because
+            # each step pays the tripwire AND the full rebin. Conservative
+            # direction (never wrong results), so warn, don't raise.
+            reb = int(jax.device_get(jnp.sum(jnp.asarray(auxes.rebinned))))
+            if reb == n:
+                warned_rebin = True
+                if log_fn:
+                    log_fn(
+                        "WARNING: lazy rebinning rebinned on every step of "
+                        f"this {n}-step block (cache never validates); "
+                        "re-tune binning (tune_flat_config / "
+                        "tune_tile_capacity) or set rebin_margin=0")
         elapsed = time.perf_counter() - t0
         for j in range(n):
             it = done + j
@@ -635,14 +652,18 @@ def fit_with_recovery(
 
 
 def make_batched_train_step_fused(cfg: SplatConfig):
-    """Multi-image single-device train step: vmap of the fused Pallas path.
+    """Multi-image single-device train step: the fused Pallas path mapped
+    over the batch with a sequential ``jax.lax.map``.
 
     State is batched (B, N, ...) (see parallel.sharded.init_batched_state);
     targets are pre-padded (B, 1, 3, Hp, Wp). Each image owns an independent
-    splat population (the data-parallel axis collapsed onto one chip --
-    vmap turns the batch into an extra kernel grid dimension). Binning
-    follows resolve_binning (resident at small N, dense otherwise; the
-    flat layout does not support vmap's extra grid dimension).
+    splat population (the data-parallel axis collapsed onto one chip). The
+    batch deliberately runs as ``lax.map``, not vmap: vmap over a
+    pallas_call with rank-1 SMEM inputs fails to lower on real TPUs (see
+    the body comment), and on one chip the images execute sequentially
+    either way. Binning follows resolve_binning (resident at small N,
+    dense otherwise; the flat layout is not supported under the batched
+    step).
     """
     from gs2d_tpu.ops import render_pallas as rp
     from gs2d_tpu.ops import render_pallas_flat as rpf
