@@ -73,6 +73,49 @@ class TestFlatLazyRebinning:
         np.testing.assert_array_equal(np.asarray(rows),
                                       np.asarray(full.rows))
 
+    def test_tune_sizes_for_the_margin(self, rng):
+        """tune_flat_config with cfg.rebin_margin > 0 must (a) size the
+        capacity so the margined superset binning never drops pairs, and
+        (b) size the tripwire slot grid (max_tiles_per_splat) to the
+        margined footprints -- otherwise pairs_covered_by returns False on
+        every step and the lazy cache degrades to worse-than-eager
+        (round-3 advisor findings)."""
+        from gs2d_tpu.ops import tiles as tl
+
+        n = 96
+        w2, h2 = 256, 256  # 32x2 tile grid at tile_h=8
+        cfg = SplatConfig(width=w2, height=h2, n_splats=n, binning="flat",
+                          tile_h=8, rebin_margin=8.0)
+        s = random_splats(rng, n, w2, h2)
+        # Small splats: an 8 px margin multiplies their footprints several-
+        # fold, far beyond the capacity tuner's generic 1.5x headroom.
+        s.sx[:] = rng.uniform(1.5, 3.0, n).astype(np.float32)
+        s.sy[:] = rng.uniform(1.5, 3.0, n).astype(np.float32)
+        # Plus centered big splats whose EXACT footprint (~24 rows x 2 cols)
+        # exceeds the default 32-slot tripwire grid.
+        s.sx[:4] = 30.0
+        s.sy[:4] = 30.0
+        s.pos[:4] = (w2 / 2.0, h2 / 2.0)
+        p = to_params(s)
+
+        # Pre-fix pin (keeps the regression meaningful): with the DEFAULT
+        # 32-slot tripwire grid, the centered big splats' exact footprints
+        # (~24 rows x 2 cols = 48 tiles) overflow the enumeration and
+        # covered == False on a population that did not move at all --
+        # i.e. the lazy cache would rebin every step. (The capacity arm is
+        # not assertable at this scale: chunk-rounding alone gives the
+        # margin-0 tuner enough headroom for the margined superset.)
+        assert not bool(tl.pairs_covered_by(p, p, cfg, cfg.rebin_margin))
+
+        cfg = rpf.tune_flat_config(p, cfg)
+        b = tlf.bin_splats_flat(p, cfg, cfg.flat_capacity, kc=cfg.flat_chunk,
+                                max_chunks=cfg.flat_max_chunks,
+                                margin=cfg.rebin_margin)
+        assert int(b.n_dropped) == 0, "margined superset overflowed capacity"
+        # The slot grid covers the margined footprint: the tripwire accepts
+        # the unchanged population (nothing moved, so the cache IS valid).
+        assert bool(tl.pairs_covered_by(p, p, cfg, cfg.rebin_margin))
+
     def test_scan_fitter_with_flat_lazy_rebinning(self, rng):
         """The flat cached-binning scan fitter matches per-step rebinning
         (to the documented cross-program XLA Adam-fusion drift) while
