@@ -252,8 +252,14 @@ def _backward_kernel(off_ref, count_ref, params_ref, fin_ref, gc_ref,
     th, tw = cfg.tile_h, cfg.tile_w
     n_live = count_ref[pl.program_id(0) * cfg.n_tiles_x + pl.program_id(1)]
 
-    fin_rgb = (fin_ref[0, 0], fin_ref[0, 1], fin_ref[0, 2])
     gc_rgb = (gc_ref[0, 0], gc_ref[0, 1], gc_ref[0, 2])
+    # Per-tile constants of the cotangent-weighted replay (_bwd_splat_step):
+    # gf = sum_ch gc*fin; ga0 = sum_ch gc*C_in (the ordered-monoid prefix of
+    # earlier splat shards under splat sharding; zero otherwise).
+    gf = (gc_rgb[0] * fin_ref[0, 0] + gc_rgb[1] * fin_ref[0, 1]
+          + gc_rgb[2] * fin_ref[0, 2])
+    ga0 = (gc_rgb[0] * c_in_ref[0, 0] + gc_rgb[1] * c_in_ref[0, 1]
+           + gc_rgb[2] * c_in_ref[0, 2])
 
     n_k = grads_ref.shape[2]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_k), 1)
@@ -262,30 +268,41 @@ def _backward_kernel(off_ref, count_ref, params_ref, fin_ref, gc_ref,
     def step(k, carry):
         comp, gacc = carry
         comp, col = _bwd_splat_step(params_ref, k, fx, fy, xx, yy, inside,
-                                    cfg, comp, fin_rgb, gc_rgb)
+                                    cfg, comp, gf, gc_rgb)
         oh = (lane == k).astype(jnp.float32)
         return comp, gacc + col * oh
 
-    # Replay carry entering this tile: under splat sharding this is the
-    # ordered-monoid prefix of earlier shards; identity otherwise.
-    comp0 = (c_in_ref[0, 0], c_in_ref[0, 1], c_in_ref[0, 2], t_in_ref[0])
+    comp0 = (ga0, t_in_ref[0])
     _, gacc = _saturating_loop(
         n_live, u, step, (comp0, jnp.zeros((9, n_k), jnp.float32)),
-        lambda c: c[0][3], jnp.float32(cfg.min_throughput), n_k,
+        lambda c: c[0][1], jnp.float32(cfg.min_throughput), n_k,
         saturating=False)
     grads_ref[0] = jnp.concatenate(
         [gacc, jnp.zeros((N_GRAD_FIELDS - 9, n_k), jnp.float32)], axis=0)
 
 
 def _bwd_splat_step(params_ref, k, fx, fy, xx, yy, inside, cfg,
-                    carry, fin_rgb, gc_rgb):
+                    carry, gf, gc_rgb):
     """One splat's backward contribution on a tile: replay + 9 gradient sums.
 
-    Returns (new (cr,cg,cb,T) carry, (9,1) column of per-splat sums).
-    Shared by the standalone backward kernel and the fused L2 kernel.
+    Returns (new (ga, T) carry, (9,1) column of per-splat sums). Shared by
+    every backward kernel family.
+
+    The replay carry is the COTANGENT-WEIGHTED prefix color
+    ``ga = sum_ch gc_ch * C_prefix_ch`` (one plane), not the three prefix
+    color planes: dL/dalpha only ever consumes the prefix through
+    ``sum_ch gc_ch * (c_ch*T - S_ch/(1-alpha))`` with suffix
+    S = final - prefix (main.cpp:616-630), which factors as
+    ``T*gcdot - inv1ma*(gf - ga)`` where ``gcdot = sum_ch gc_ch*c_ch``
+    (per-splat scalars x cotangent planes) and ``gf = sum_ch gc_ch*fin_ch``
+    is a per-tile constant the kernels precompute. Each composite step adds
+    ``w_c * c_ch`` per channel, so ga updates with ONE fma
+    (ga += w_c * gcdot) instead of three -- dropping ~1/3 of the replay's
+    vector ops for mathematically identical gradients (reassociated:
+    <= ~1 ulp vs the per-channel form, the documented cross-program drift
+    class; render_jax keeps the bit-faithful per-channel replay).
     """
-    cr_acc, cg_acc, cb_acc, T = carry
-    fin_r, fin_g, fin_b = fin_rgb
+    ga, T = carry
     gc_r, gc_g, gc_b = gc_rgb
     live, alpha, G, vx, vy, s = _splat_terms(
         params_ref, k, fx, fy, xx, yy, inside, T, cfg)
@@ -296,27 +313,21 @@ def _bwd_splat_step(params_ref, k, fx, fy, xx, yy, inside, cfg,
     # are bitwise equal for finite alpha, T).
     w_c = alpha * T * mw
 
-    # Replay composite; suffix color S = final - prefix (main.cpp:622-627).
-    cr_acc = cr_acc + w_c * s["cr"]
-    cg_acc = cg_acc + w_c * s["cg"]
-    cb_acc = cb_acc + w_c * s["cb"]
+    # Cotangent-weighted splat color (scalars x planes), then the replay:
+    # ga tracks sum_ch gc_ch * C_prefix_ch including this splat.
+    gcdot = gc_r * s["cr"] + gc_g * s["cg"] + gc_b * s["cb"]
+    ga = ga + w_c * gcdot
 
     # (1 - alpha + 1e-15) guard, reassociation-proof (see render_jax).
     inv1ma = jnp.float32(1.0) / jnp.where(
         alpha >= jnp.float32(1.0), jnp.float32(1e-15),
         jnp.float32(1.0) - alpha)
-    dL_da = (
-        gc_r * (s["cr"] * T - (fin_r - cr_acc) * inv1ma)
-        + gc_g * (s["cg"] * T - (fin_g - cg_acc) * inv1ma)
-        + gc_b * (s["cb"] * T - (fin_b - cb_acc) * inv1ma)
-    ) * mw
+    dL_da = (T * gcdot - (gf - ga) * inv1ma) * mw
+    # Common factor of the five geometry gradients (dalpha/dparam is
+    # proportional to alpha for mu, s, theta -- Form.pdf sections 8-10).
+    z = dL_da * alpha
 
     a, b, d = s["a"], s["b"], s["d"]
-    # d(alpha)/d(mu) (main.cpp:635-640); b == c in the symmetric inverse,
-    # with the 0.5 * 2 folded away.
-    dal_dx = alpha * (a * vx + b * vy)
-    dal_dy = alpha * (d * vy + b * vx)
-
     cosT, sinT = s["cosT"], s["sinT"]
     sx, sy = s["sx"], s["sy"]
     # Factored forms of main.cpp:657-683 (u = v rotated into the splat
@@ -326,34 +337,34 @@ def _bwd_splat_step(params_ref, k, fx, fy, xx, yy, inside, cfg,
     # them for bit-faithfulness, the kernels use the cheap factorization).
     u = cosT * vx + sinT * vy
     w = sinT * vx - cosT * vy
-    # 1/sx^3, 1/sy^3 are per-splat: computed on the scalar unit (rank-0
-    # operands), turning two tile-wide vector divisions into multiplies.
-    # Gradients shift <= 1 ulp (allclose-tested); every kernel family
-    # shares this step, so cross-path bitwise equality is preserved.
+    # 1/sx^3, 1/sy^3 and the theta prefactor are per-splat: computed on the
+    # scalar unit (rank-0 operands), turning tile-wide vector divisions
+    # into multiplies. Gradients shift <= 1 ulp (allclose-tested); every
+    # kernel family shares this step, so cross-path equality is preserved.
     inv_sx3 = jnp.float32(1.0) / (sx * sx * sx)
     inv_sy3 = jnp.float32(1.0) / (sy * sy * sy)
-    dal_dsx = alpha * inv_sx3 * (u * u)
-    dal_dsy = alpha * inv_sy3 * (w * w)
-    dal_dth = -alpha * (sx * sx - sy * sy) / (sx * sx * sy * sy) * (u * w)
+    th_s = -(sx * sx - sy * sy) / (sx * sx * sy * sy)
 
     # Nine tile-wide sums, batched: sublane-reduce each, stack, ONE
     # cross-lane reduction (cross-lane reduces are the expensive VPU op).
+    # d(alpha)/d(mu) (main.cpp:635-640): b == c in the symmetric inverse,
+    # with the 0.5 * 2 folded away; z carries the alpha factor.
     qs = [
-        dL_da * dal_dx, dL_da * dal_dy,           # G_PX, G_PY
-        dL_da * dal_dsx, dL_da * dal_dsy,         # G_SX, G_SY
-        dL_da * dal_dth,                          # G_ROT
-        gc_r * w_c, gc_g * w_c, gc_b * w_c,       # G_CR..G_CB
-        dL_da * G,                                # G_OP (main.cpp:703)
+        z * (a * vx + b * vy), z * (d * vy + b * vx),   # G_PX, G_PY
+        (z * inv_sx3) * (u * u), (z * inv_sy3) * (w * w),  # G_SX, G_SY
+        (z * th_s) * (u * w),                           # G_ROT
+        gc_r * w_c, gc_g * w_c, gc_b * w_c,             # G_CR..G_CB
+        dL_da * G,                                      # G_OP (main.cpp:703)
     ]
     stacked = jnp.concatenate(
         [jnp.sum(q, axis=0, keepdims=True) for q in qs], axis=0)
     col = jnp.sum(stacked, axis=1, keepdims=True)                 # (9, 1)
 
     T = jnp.where(live, T * (jnp.float32(1.0) - alpha), T)
-    return (cr_acc, cg_acc, cb_acc, T), col
+    return (ga, T), col
 
 
-def _bwd_splat_step_cached(params_ref, k, fx, fy, cfg, carry, fin_rgb,
+def _bwd_splat_step_cached(params_ref, k, fx, fy, cfg, carry, gf,
                            gc_rgb, gcache_ref):
     """_bwd_splat_step from the forward's cached masked Gaussian term.
 
@@ -362,9 +373,11 @@ def _bwd_splat_step_cached(params_ref, k, fx, fy, cfg, carry, fin_rgb,
     reconstructs alpha = G * op bitwise and replaces the whole
     _splat_terms re-derivation -- bounds, the per-row ellipse quadratic,
     and exp_approx (~45 vector ops per pair-step) become one VMEM load.
-    Pairs masked at forward time carry G == 0 and contribute exact zeros
-    to every gradient (all contributions are proportional to alpha or G),
-    so the live mask reduces to m_G > 0.
+    Pairs masked at forward time carry G == 0, so alpha == 0 EXACTLY on
+    them: every gradient term is proportional to alpha or G and vanishes,
+    T*(1-0) == T bitwise, and ga gains w_c*gcdot == 0 -- no separate mask
+    ops are needed at all (unlike _bwd_splat_step, whose re-derived alpha
+    is nonzero on masked pairs).
 
     Numerics: the forward composite and every gradient are mathematically
     identical to _bwd_splat_step's (alpha is reconstructed bitwise), but
@@ -372,9 +385,9 @@ def _bwd_splat_step_cached(params_ref, k, fx, fy, cfg, carry, fin_rgb,
     compiled gradients drift <= 1 ulp vs the re-deriving kernels -- the
     same documented drift as across tile_h or binning layouts
     (test_fused.TestGCache; bitwise cross-kernel tests pin
-    alpha_cache=False)."""
-    cr_acc, cg_acc, cb_acc, T = carry
-    fin_r, fin_g, fin_b = fin_rgb
+    alpha_cache=False). Carries (ga, T) -- see _bwd_splat_step for the
+    cotangent-weighted replay factorization."""
+    ga, T = carry
     gc_r, gc_g, gc_b = gc_rgb
     f = lambda i: params_ref[0, k, i]
     px, py = f(tl.FIELD_PX), f(tl.FIELD_PY)
@@ -386,38 +399,29 @@ def _bwd_splat_step_cached(params_ref, k, fx, fy, cfg, carry, fin_rgb,
 
     m_G = gcache_ref[k]
     alpha = m_G * op                      # bitwise the forward's alpha
-    mw = (m_G > jnp.float32(0.0)).astype(jnp.float32)
     vy = fy - py
     vx = fx - px
 
     w_c = alpha * T
-    cr_acc = cr_acc + w_c * cr
-    cg_acc = cg_acc + w_c * cg
-    cb_acc = cb_acc + w_c * cb
+    gcdot = gc_r * cr + gc_g * cg + gc_b * cb
+    ga = ga + w_c * gcdot
 
     inv1ma = jnp.float32(1.0) / jnp.where(
         alpha >= jnp.float32(1.0), jnp.float32(1e-15),
         jnp.float32(1.0) - alpha)
-    dL_da = (
-        gc_r * (cr * T - (fin_r - cr_acc) * inv1ma)
-        + gc_g * (cg * T - (fin_g - cg_acc) * inv1ma)
-        + gc_b * (cb * T - (fin_b - cb_acc) * inv1ma)
-    ) * mw
+    dL_da = T * gcdot - (gf - ga) * inv1ma
+    z = dL_da * alpha
 
-    dal_dx = alpha * (a * vx + b * vy)
-    dal_dy = alpha * (d * vy + b * vx)
     u = cosT * vx + sinT * vy
     w = sinT * vx - cosT * vy
     inv_sx3 = jnp.float32(1.0) / (sx * sx * sx)
     inv_sy3 = jnp.float32(1.0) / (sy * sy * sy)
-    dal_dsx = alpha * inv_sx3 * (u * u)
-    dal_dsy = alpha * inv_sy3 * (w * w)
-    dal_dth = -alpha * (sx * sx - sy * sy) / (sx * sx * sy * sy) * (u * w)
+    th_s = -(sx * sx - sy * sy) / (sx * sx * sy * sy)
 
     qs = [
-        dL_da * dal_dx, dL_da * dal_dy,
-        dL_da * dal_dsx, dL_da * dal_dsy,
-        dL_da * dal_dth,
+        z * (a * vx + b * vy), z * (d * vy + b * vx),
+        (z * inv_sx3) * (u * u), (z * inv_sy3) * (w * w),
+        (z * th_s) * (u * w),
         gc_r * w_c, gc_g * w_c, gc_b * w_c,
         dL_da * m_G,
     ]
@@ -425,9 +429,8 @@ def _bwd_splat_step_cached(params_ref, k, fx, fy, cfg, carry, fin_rgb,
         [jnp.sum(q, axis=0, keepdims=True) for q in qs], axis=0)
     col = jnp.sum(stacked, axis=1, keepdims=True)                 # (9, 1)
 
-    T = jnp.where(m_G > jnp.float32(0.0),
-                  T * (jnp.float32(1.0) - alpha), T)
-    return (cr_acc, cg_acc, cb_acc, T), col
+    T = T * (jnp.float32(1.0) - alpha)
+    return (ga, T), col
 
 
 # Cache the forward's masked G per (slot, tile) in VMEM scratch when the
@@ -486,12 +489,13 @@ def _fwd_chunked_kernel(off_ref, count_ref, params_ref, color_ref, trans_ref,
 
 
 def _bwd_chunked_kernel(off_ref, count_ref, params_ref, fin_ref, gc_ref,
-                        c_in_ref, t_in_ref, grads_ref, c1_ref, t1_ref,
+                        c_in_ref, t_in_ref, grads_ref, ga1_ref, t1_ref,
                         *, cfg: SplatConfig, kc: int):
     """Chunked modular backward. Grid (tiles, chunks); the replay prefix
-    (C1, T1) lives in revisited output blocks, seeded from the carry-in
-    blocks (the ordered-monoid prefix under splat sharding) at chunk 0.
-    Arbitrary upstream cotangent gc, unlike the fused L2 kernels."""
+    (ga1 = sum_ch gc*C_prefix, T1) lives in revisited output blocks, seeded
+    from the carry-in blocks (the ordered-monoid prefix under splat
+    sharding) at chunk 0. Arbitrary upstream cotangent gc, unlike the
+    fused L2 kernels."""
     yy, xx, fy, fx, inside = _tile_coords_grid(cfg, pl.program_id(0),
                                                off_ref[0])
     th, tw = cfg.tile_h, cfg.tile_w
@@ -499,12 +503,13 @@ def _bwd_chunked_kernel(off_ref, count_ref, params_ref, fin_ref, gc_ref,
     n_here = jnp.clip(count_ref[pl.program_id(0)] - chunk * kc, 0, kc)
     u = _unrolled(kc)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, kc), 1)
+    gc_rgb = (gc_ref[0, 0], gc_ref[0, 1], gc_ref[0, 2])
 
     @pl.when(chunk == 0)
     def _():
-        c1_ref[0, 0] = c_in_ref[0, 0]
-        c1_ref[0, 1] = c_in_ref[0, 1]
-        c1_ref[0, 2] = c_in_ref[0, 2]
+        ga1_ref[0] = (gc_rgb[0] * c_in_ref[0, 0]
+                      + gc_rgb[1] * c_in_ref[0, 1]
+                      + gc_rgb[2] * c_in_ref[0, 2])
         t1_ref[0] = t_in_ref[0]
 
     # Fresh grads block every (tile, chunk) step: zero unconditionally so a
@@ -513,24 +518,22 @@ def _bwd_chunked_kernel(off_ref, count_ref, params_ref, fin_ref, gc_ref,
 
     @pl.when(jnp.max(t1_ref[0]) >= jnp.float32(cfg.min_throughput))
     def _():
-        fin_rgb = (fin_ref[0, 0], fin_ref[0, 1], fin_ref[0, 2])
-        gc_rgb = (gc_ref[0, 0], gc_ref[0, 1], gc_ref[0, 2])
+        gf = (gc_rgb[0] * fin_ref[0, 0] + gc_rgb[1] * fin_ref[0, 1]
+              + gc_rgb[2] * fin_ref[0, 2])
 
         def step(k, carry):
             comp, gacc = carry
             comp, col = _bwd_splat_step(params_ref, k, fx, fy, xx, yy,
-                                        inside, cfg, comp, fin_rgb, gc_rgb)
+                                        inside, cfg, comp, gf, gc_rgb)
             oh = (lane == k).astype(jnp.float32)
             return comp, gacc + col * oh
 
-        comp = (c1_ref[0, 0], c1_ref[0, 1], c1_ref[0, 2], t1_ref[0])
-        (cr, cg, cb, T), gacc = _saturating_loop(
+        comp = (ga1_ref[0], t1_ref[0])
+        (ga, T), gacc = _saturating_loop(
             n_here, u, step, (comp, jnp.zeros((9, kc), jnp.float32)),
-            lambda c: c[0][3], jnp.float32(cfg.min_throughput), kc,
+            lambda c: c[0][1], jnp.float32(cfg.min_throughput), kc,
             saturating=_sat_walk(cfg))
-        c1_ref[0, 0] = cr
-        c1_ref[0, 1] = cg
-        c1_ref[0, 2] = cb
+        ga1_ref[0] = ga
         t1_ref[0] = T
         grads_ref[0] = jnp.concatenate(
             [gacc, jnp.zeros((N_GRAD_FIELDS - 9, kc), jnp.float32)], axis=0)
@@ -692,8 +695,8 @@ def backward_tiled(
                              lambda t, c, n_chunks=n_chunks:
                              (t * n_chunks + c, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 3, th, tw),
-                             lambda t, c, gx=gx: (0, 0, t // gx, t % gx),
+                pl.BlockSpec((1, th, tw),
+                             lambda t, c, gx=gx: (0, t // gx, t % gx),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, th, tw),
                              lambda t, c, gx=gx: (0, t // gx, t % gx),
@@ -702,7 +705,7 @@ def backward_tiled(
             out_shape=[
                 jax.ShapeDtypeStruct((n_tiles * n_chunks, N_GRAD_FIELDS, kc),
                                      jnp.float32),
-                jax.ShapeDtypeStruct((1, 3, hp, wp), jnp.float32),
+                jax.ShapeDtypeStruct((1, hp, wp), jnp.float32),
                 jax.ShapeDtypeStruct((1, hp, wp), jnp.float32),
             ],
             interpret=interpret,
@@ -807,7 +810,7 @@ def _l2_fused_kernel(off_ref, count_ref, params_ref, ref_ref, color_ref,
 
     gc_rgb = (fin_r - ref_ref[0, 0], fin_g - ref_ref[0, 1],
               fin_b - ref_ref[0, 2])
-    fin_rgb = (fin_r, fin_g, fin_b)
+    gf = gc_rgb[0] * fin_r + gc_rgb[1] * fin_g + gc_rgb[2] * fin_b
 
     # ---- pass 2: backward replay -----------------------------------------
     n_k = grads_ref.shape[2]
@@ -817,18 +820,17 @@ def _l2_fused_kernel(off_ref, count_ref, params_ref, ref_ref, color_ref,
         comp, gacc = carry
         if gcache_ref is not None:
             comp, col = _bwd_splat_step_cached(
-                params_ref, k, fx, fy, cfg, comp, fin_rgb, gc_rgb,
-                gcache_ref)
+                params_ref, k, fx, fy, cfg, comp, gf, gc_rgb, gcache_ref)
         else:
             comp, col = _bwd_splat_step(params_ref, k, fx, fy, xx, yy,
-                                        inside, cfg, comp, fin_rgb, gc_rgb)
+                                        inside, cfg, comp, gf, gc_rgb)
         oh = (lane == k).astype(jnp.float32)
         return comp, gacc + col * oh
 
-    comp0 = (zero, zero, zero, t0)
+    comp0 = (zero, t0)
     _, gacc = _saturating_loop(
         n_live, u, bwd_step, (comp0, jnp.zeros((9, n_k), jnp.float32)),
-        lambda c: c[0][3], mt, n_k, saturating=False)
+        lambda c: c[0][1], mt, n_k, saturating=False)
     grads_ref[0] = jnp.concatenate(
         [gacc, jnp.zeros((N_GRAD_FIELDS - 9, n_k), jnp.float32)], axis=0)
 
@@ -932,14 +934,15 @@ def pad_ref_chw(ref: jax.Array, cfg: SplatConfig) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _l2_chunked_kernel(off_ref, count_ref, params_ref, ref_ref,
-                       color_ref, grads_ref, t_ref, c1_ref, t1_ref,
+                       color_ref, grads_ref, t_ref, ga1_ref, t1_ref,
                        *, cfg: SplatConfig, kc: int, n_chunks: int):
     """Grid (tiles, phase, chunk). Phase 0 composites the tile chunk by
     chunk; phase 1 replays for gradients. Per-pixel carries (T for the
-    forward; the replay prefix C1/T1 for the backward) live in output blocks
-    revisited across the tile's consecutive grid steps, so VMEM and the
-    one-hot accumulator stay O(chunk) no matter how long the splat list is.
-    ``off_ref`` holds the global pixel row of the band's first row.
+    forward; the replay prefix ga1 = sum_ch gc*C_prefix plus T1 for the
+    backward -- see _bwd_splat_step) live in output blocks revisited across
+    the tile's consecutive grid steps, so VMEM and the one-hot accumulator
+    stay O(chunk) no matter how long the splat list is. ``off_ref`` holds
+    the global pixel row of the band's first row.
     """
     yy, xx, fy, fx, inside = _tile_coords_grid(cfg, pl.program_id(0),
                                                off_ref[0])
@@ -962,9 +965,7 @@ def _l2_chunked_kernel(off_ref, count_ref, params_ref, ref_ref,
 
     @pl.when((phase == 1) & (chunk == 0))
     def _():
-        c1_ref[0, 0] = zero
-        c1_ref[0, 1] = zero
-        c1_ref[0, 2] = zero
+        ga1_ref[0] = zero
         t1_ref[0] = inside.astype(jnp.float32)
 
     mt = jnp.float32(cfg.min_throughput)
@@ -1002,22 +1003,22 @@ def _l2_chunked_kernel(off_ref, count_ref, params_ref, ref_ref,
             fin_rgb = (color_ref[0, 0], color_ref[0, 1], color_ref[0, 2])
             gc_rgb = (fin_rgb[0] - ref_ref[0, 0], fin_rgb[1] - ref_ref[0, 1],
                       fin_rgb[2] - ref_ref[0, 2])
+            gf = (gc_rgb[0] * fin_rgb[0] + gc_rgb[1] * fin_rgb[1]
+                  + gc_rgb[2] * fin_rgb[2])
 
             def step(k, carry):
                 comp, gacc = carry
                 comp, col = _bwd_splat_step(
                     params_ref, k, fx, fy, xx, yy, inside, cfg, comp,
-                    fin_rgb, gc_rgb)
+                    gf, gc_rgb)
                 oh = (lane == k).astype(jnp.float32)
                 return comp, gacc + col * oh
 
-            comp = (c1_ref[0, 0], c1_ref[0, 1], c1_ref[0, 2], t1_ref[0])
-            (cr, cg, cb, T), gacc = _saturating_loop(
+            comp = (ga1_ref[0], t1_ref[0])
+            (ga, T), gacc = _saturating_loop(
                 n_here, u, step, (comp, jnp.zeros((9, kc), jnp.float32)),
-                lambda c: c[0][3], mt, kc, saturating=_sat_walk(cfg))
-            c1_ref[0, 0] = cr
-            c1_ref[0, 1] = cg
-            c1_ref[0, 2] = cb
+                lambda c: c[0][1], mt, kc, saturating=_sat_walk(cfg))
+            ga1_ref[0] = ga
             t1_ref[0] = T
             grads_ref[0] = jnp.concatenate(
                 [gacc, jnp.zeros((N_GRAD_FIELDS - 9, kc), jnp.float32)],
@@ -1092,8 +1093,8 @@ def l2_render_and_grads_chunked(
             pl.BlockSpec((1, th, tw),
                          lambda t, p, c, gx=gx: (0, t // gx, t % gx),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, th, tw),
-                         lambda t, p, c, gx=gx: (0, 0, t // gx, t % gx),
+            pl.BlockSpec((1, th, tw),
+                         lambda t, p, c, gx=gx: (0, t // gx, t % gx),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, th, tw),
                          lambda t, p, c, gx=gx: (0, t // gx, t % gx),
@@ -1104,7 +1105,7 @@ def l2_render_and_grads_chunked(
             jax.ShapeDtypeStruct((n_tiles * n_chunks, N_GRAD_FIELDS, kc),
                                  jnp.float32),
             jax.ShapeDtypeStruct((1, hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((1, 3, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((1, hp, wp), jnp.float32),
             jax.ShapeDtypeStruct((1, hp, wp), jnp.float32),
         ],
         interpret=interpret,

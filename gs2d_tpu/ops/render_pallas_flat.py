@@ -257,20 +257,22 @@ def _fwd_flat_kernel(off_ref, start_ref, count_ref, params_ref,
 
 
 def _bwd_flat_kernel(off_ref, start_ref, count_ref, params_ref, fin_ref,
-                     gc_ref, cin_ref, tin_ref, grads_ref, c1_ref, t1_ref,
+                     gc_ref, cin_ref, tin_ref, grads_ref, ga1_ref, t1_ref,
                      *, cfg: SplatConfig, kc: int):
     t = pl.program_id(0)
     c = pl.program_id(1)
     yy, xx, fy, fx, inside = _tile_coords_grid(cfg, t, off_ref[0])
     th, tw = cfg.tile_h, cfg.tile_w
+    gc_rgb = (gc_ref[0, 0], gc_ref[0, 1], gc_ref[0, 2])
 
     @pl.when(c == 0)
     def _():
-        # Replay carry entering this tile: the ordered-monoid prefix of
-        # earlier splat shards (identity when unsharded).
-        c1_ref[0, 0] = cin_ref[0, 0]
-        c1_ref[0, 1] = cin_ref[0, 1]
-        c1_ref[0, 2] = cin_ref[0, 2]
+        # Replay carry entering this tile: the cotangent-weighted prefix
+        # ga = sum_ch gc*C_in of earlier splat shards' ordered-monoid
+        # composite (identity when unsharded) -- see _bwd_splat_step.
+        ga1_ref[0] = (gc_rgb[0] * cin_ref[0, 0]
+                      + gc_rgb[1] * cin_ref[0, 1]
+                      + gc_rgb[2] * cin_ref[0, 2])
         t1_ref[0] = tin_ref[0]
 
     n_here = jnp.clip(count_ref[t] - c * kc, 0, kc)
@@ -287,24 +289,22 @@ def _bwd_flat_kernel(off_ref, start_ref, count_ref, params_ref, fin_ref,
 
         @pl.when(jnp.max(t1_ref[0]) >= mt)
         def _():
-            fin_rgb = (fin_ref[0, 0], fin_ref[0, 1], fin_ref[0, 2])
-            gc_rgb = (gc_ref[0, 0], gc_ref[0, 1], gc_ref[0, 2])
+            gf = (gc_rgb[0] * fin_ref[0, 0] + gc_rgb[1] * fin_ref[0, 1]
+                  + gc_rgb[2] * fin_ref[0, 2])
 
             def step(k, carry):
                 comp, gacc = carry
                 comp, col = _bwd_splat_step(
                     params_ref, k, fx, fy, xx, yy, inside, cfg, comp,
-                    fin_rgb, gc_rgb)
+                    gf, gc_rgb)
                 oh = (lane == k).astype(jnp.float32)
                 return comp, gacc + col * oh
 
-            comp0 = (c1_ref[0, 0], c1_ref[0, 1], c1_ref[0, 2], t1_ref[0])
-            (cr, cg, cb, T), gacc = _saturating_loop(
+            comp0 = (ga1_ref[0], t1_ref[0])
+            (ga, T), gacc = _saturating_loop(
                 n_here, u, step, (comp0, jnp.zeros((9, kc), jnp.float32)),
-                lambda c: c[0][3], mt, kc, saturating=_sat_walk(cfg))
-            c1_ref[0, 0] = cr
-            c1_ref[0, 1] = cg
-            c1_ref[0, 2] = cb
+                lambda c: c[0][1], mt, kc, saturating=_sat_walk(cfg))
+            ga1_ref[0] = ga
             t1_ref[0] = T
             grads_ref[0] = jnp.concatenate(
                 [gacc, jnp.zeros((N_GRAD_FIELDS - 9, kc), jnp.float32)],
@@ -446,7 +446,7 @@ def backward_flat(
         ],
         out_specs=[
             pl.BlockSpec((1, N_GRAD_FIELDS, kc), grads_idx),
-            pl.BlockSpec((1, 3, th, tw), tile_idx4),
+            pl.BlockSpec((1, th, tw), tile_idx3),
             pl.BlockSpec((1, th, tw), tile_idx3),
         ],
     )
@@ -456,7 +456,7 @@ def backward_flat(
         out_shape=[
             jax.ShapeDtypeStruct((m_blocks + 1, N_GRAD_FIELDS, kc),
                                  jnp.float32),
-            jax.ShapeDtypeStruct((1, 3, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((1, hp, wp), jnp.float32),
             jax.ShapeDtypeStruct((1, hp, wp), jnp.float32),
         ],
         interpret=interpret,

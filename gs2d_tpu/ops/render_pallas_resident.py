@@ -123,7 +123,7 @@ def _l2_resident_kernel(off_ref, count_ref, table_ref, ids_ref, idc_ref,
 
     gc_rgb = (fin_r - ref_ref[0, 0], fin_g - ref_ref[0, 1],
               fin_b - ref_ref[0, 2])
-    fin_rgb = (fin_r, fin_g, fin_b)
+    gf = gc_rgb[0] * fin_r + gc_rgb[1] * fin_g + gc_rgb[2] * fin_b
 
     # ---- pass 2: backward replay ----------------------------------------
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, k_cap), 1)
@@ -132,17 +132,17 @@ def _l2_resident_kernel(off_ref, count_ref, table_ref, ids_ref, idc_ref,
         comp, gacc = carry
         if gcache_ref is not None:
             comp, col = _bwd_splat_step_cached(
-                view, k, fx, fy, cfg, comp, fin_rgb, gc_rgb, gcache_ref)
+                view, k, fx, fy, cfg, comp, gf, gc_rgb, gcache_ref)
         else:
             comp, col = _bwd_splat_step(view, k, fx, fy, xx, yy, inside,
-                                        cfg, comp, fin_rgb, gc_rgb)
+                                        cfg, comp, gf, gc_rgb)
         oh = (lane == k).astype(jnp.float32)
         return comp, gacc + col * oh
 
-    comp0 = (zero, zero, zero, t0)
+    comp0 = (zero, t0)
     _, gacc = _saturating_loop(
         n_live, u, bwd_step, (comp0, jnp.zeros((9, k_cap), jnp.float32)),
-        lambda c: c[0][3], mt, k_cap, saturating=False)
+        lambda c: c[0][1], mt, k_cap, saturating=False)
 
     # Expand the per-slot columns onto the splat axis on the MXU: slot k of
     # this tile contributes to exactly splat ids[k] (a splat appears at most
@@ -300,21 +300,24 @@ def _bwd_resident_kernel(off_ref, count_ref, table_ref, ids_ref, idc_ref,
     def _():
         grads_ref[...] = jnp.zeros_like(grads_ref)
 
-    fin_rgb = (fin_ref[0, 0], fin_ref[0, 1], fin_ref[0, 2])
     gc_rgb = (gc_ref[0, 0], gc_ref[0, 1], gc_ref[0, 2])
+    gf = (gc_rgb[0] * fin_ref[0, 0] + gc_rgb[1] * fin_ref[0, 1]
+          + gc_rgb[2] * fin_ref[0, 2])
+    ga0 = (gc_rgb[0] * c_in_ref[0, 0] + gc_rgb[1] * c_in_ref[0, 1]
+           + gc_rgb[2] * c_in_ref[0, 2])
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, k_cap), 1)
 
     def step(k, carry):
         comp, gacc = carry
         comp, col = _bwd_splat_step(view, k, fx, fy, xx, yy, inside,
-                                    cfg, comp, fin_rgb, gc_rgb)
+                                    cfg, comp, gf, gc_rgb)
         oh = (lane == k).astype(jnp.float32)
         return comp, gacc + col * oh
 
-    comp0 = (c_in_ref[0, 0], c_in_ref[0, 1], c_in_ref[0, 2], t_in_ref[0])
+    comp0 = (ga0, t_in_ref[0])
     _, gacc = _saturating_loop(
         n_live, u, step, (comp0, jnp.zeros((9, k_cap), jnp.float32)),
-        lambda c: c[0][3], jnp.float32(cfg.min_throughput), k_cap,
+        lambda c: c[0][1], jnp.float32(cfg.min_throughput), k_cap,
         saturating=False)
 
     onehot = (idc_ref[0] == jax.lax.broadcasted_iota(

@@ -145,7 +145,7 @@ def _l2_window_kernel(off_ref, count_ref, base_ref, table_ref, ids_ref,
 
     gc_rgb = (fin_r - ref_ref[0, 0], fin_g - ref_ref[0, 1],
               fin_b - ref_ref[0, 2])
-    fin_rgb = (fin_r, fin_g, fin_b)
+    gf = gc_rgb[0] * fin_r + gc_rgb[1] * fin_g + gc_rgb[2] * fin_b
 
     # ---- pass 2: backward replay ----------------------------------------
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, k_cap), 1)
@@ -153,14 +153,14 @@ def _l2_window_kernel(off_ref, count_ref, base_ref, table_ref, ids_ref,
     def bwd_step(k, carry):
         comp, gacc = carry
         comp, col = _bwd_splat_step(view, k, fx, fy, xx, yy, inside,
-                                    cfg, comp, fin_rgb, gc_rgb)
+                                    cfg, comp, gf, gc_rgb)
         oh = (lane == k).astype(jnp.float32)
         return comp, gacc + col * oh
 
-    comp0 = (zero, zero, zero, t0)
+    comp0 = (zero, t0)
     _, gacc = _saturating_loop(
         n_live, u, bwd_step, (comp0, jnp.zeros((9, k_cap), jnp.float32)),
-        lambda c: c[0][3], mt, k_cap, saturating=False)
+        lambda c: c[0][1], mt, k_cap, saturating=False)
 
     # Windowed expansion: slot k's id matches lane (id - base) iff it lies
     # inside this tile's window; out-of-window ids (counted by

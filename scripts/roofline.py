@@ -16,11 +16,17 @@ Methodology (all ceilings MEASURED on this chip, not copied from datasheets):
    - achieved HBM GB/s over the arrays actually moved vs the copy ceiling.
 
 Hand op-count per pair-step (f32 vector ops on (8,128), from
-render_pallas._splat_terms/_fwd_one/_bwd_splat_step):
+render_pallas._splat_terms/_fwd_one/_bwd_splat_step, post the round-4
+cotangent-weighted (ga) replay refactor):
   forward   ~40  (coverage 22, alpha/exp 8, composite 10)
-  backward  ~95  (replay 40, dL/dalpha 18, param grads 19, 9 sublane
-                  reduces ~14, one-hot accumulate ~4/lane-block)
-Results land in BASELINE.md.
+  backward  ~80  (re-derive coverage+alpha 30, ga replay + dL/dalpha 14,
+                  param grads 14, 9 sublane reduces ~14, one-hot
+                  accumulate ~4/lane-block)
+  backward (G-cache replay, _bwd_splat_step_cached: fused/resident
+  kernels when K fits GCACHE_BUDGET_BYTES) ~48 -- no re-derivation,
+  no mask ops.
+Pass --cached to model the G-cache backward instead of the re-deriving
+one. Results land in BASELINE.md.
 """
 
 import argparse
@@ -119,7 +125,8 @@ def measure_vpu_fma():
 
 
 FWD_OPS = 40   # vector ops per pair-step, hand-counted (docstring)
-BWD_OPS = 95
+BWD_OPS = 80   # re-deriving backward (ga replay, round 4)
+BWD_OPS_CACHED = 48  # G-cache backward (_bwd_splat_step_cached)
 
 
 def workload_scan_diff(name, w, h, n_splats, binning, image=None, iters=60):
@@ -208,7 +215,13 @@ def workload_scan_diff(name, w, h, n_splats, binning, image=None, iters=60):
     counts0 = jax.jit(lambda p: jnp.sum(bin_fn(p).count))(state0.params)
     counts1 = jax.jit(lambda p: jnp.sum(bin_fn(p).count))(state_end.params)
     pair_steps = 0.5 * (int(counts0) + int(counts1))
-    ops = pair_steps * (FWD_OPS + BWD_OPS) * cfg.tile_h * 128
+    # Fused non-chunked dense/resident kernels replay through the G-cache
+    # when the scratch fits the budget (render_pallas._use_gcache).
+    bwd = BWD_OPS
+    if binning != "flat" and (binning == "resident" or k <= 256) \
+            and rp._use_gcache(cfg, k):
+        bwd = BWD_OPS_CACHED
+    ops = pair_steps * (FWD_OPS + bwd) * cfg.tile_h * 128
     return {
         "workload": name,
         "pair_steps": int(pair_steps),
