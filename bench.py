@@ -79,14 +79,24 @@ def main():
         # (make_fit_scan_fused), so host dispatch and tunnel latency are out
         # of the measured loop entirely.
         refj = render_pallas.pad_ref_chw(jnp.asarray(ref), cfg)
-        iters = 200
+        # The tunneled runtime charges a FIXED ~30-35 ms dispatch+fetch RTT
+        # per synchronous call (CLAUDE.md latency profile) -- measured
+        # directly: an EMPTY 200-iter lax.scan times at 0.146 ms/iter, i.e.
+        # the whole "floor" is one round trip, not per-iteration work. The
+        # per-iteration metric must not include it, so the timed region
+        # pipelines `reps` back-to-back 200-iter scan segments (continuing
+        # the same fit trajectory; queue depth 5 is far below the ~100 where
+        # transient collapses were seen) and fetches ONE scalar at the end:
+        # overhead amortizes over reps*iters instead of iters.
+        iters, reps = 200, 5
         fit_k = make_fit_scan_fused(cfg)
         state, auxes = fit_k(state, refj, iters)  # warmup/compile
         float(auxes.mse[-1])
         t0 = time.perf_counter()
-        state, auxes = fit_k(state, refj, iters)
+        for _ in range(reps):
+            state, auxes = fit_k(state, refj, iters)
         float(auxes.mse[-1])
-        dt = (time.perf_counter() - t0) / iters
+        dt = (time.perf_counter() - t0) / (iters * reps)
     else:
         refj = jnp.asarray(ref)
         step = make_train_step(cfg)
