@@ -37,7 +37,11 @@ from gs2d_tpu.config import EXP_APPROX_FLUSH, SplatConfig
 from gs2d_tpu.ops import tiles as tl
 from gs2d_tpu.params import GaussianParams
 
-# Gradient sublane indices in the backward kernel output.
+# Gradient sublane indices in the backward kernel output. The production
+# kernels emit raw z-MOMENTS in these rows (G_PX<-M1=sum z*vx, G_PY<-M2,
+# G_SX<-M3=sum z*vx^2, G_SY<-M4=sum z*vx*vy, G_ROT<-M5=sum z*vy^2,
+# G_OP<-M0=sum z; color rows are final) -- moments_to_grads applies the
+# per-splat scalar combinations that turn them into parameter gradients.
 G_PX, G_PY, G_SX, G_SY, G_ROT, G_CR, G_CG, G_CB, G_OP = range(9)
 N_GRAD_FIELDS = 16  # 9 used; padded to 16 sublanes for aligned DMA
 
@@ -97,11 +101,11 @@ def _splat_terms(params_ref, k, fx, fy, xx, yy, inside, T, cfg: SplatConfig):
     G = _exp_term(jnp.float32(-0.5) * d2, cfg.use_exp_approx)
     alpha = G * op
     live = cover & (T >= jnp.float32(cfg.min_throughput))
+    # sx/sy/cos/sin are no longer read here: the backward emits raw
+    # z-moments and their combinations happen in moments_to_grads.
     return live, alpha, G, vx, vy, {
         "a": a, "b": b, "d": d,
         "cr": f(tl.FIELD_CR), "cg": f(tl.FIELD_CG), "cb": f(tl.FIELD_CB),
-        "sx": f(tl.FIELD_SX), "sy": f(tl.FIELD_SY),
-        "cosT": f(tl.FIELD_COS), "sinT": f(tl.FIELD_SIN),
     }
 
 
@@ -301,6 +305,17 @@ def _bwd_splat_step(params_ref, k, fx, fy, xx, yy, inside, cfg,
     vector ops for mathematically identical gradients (reassociated:
     <= ~1 ulp vs the per-channel form, the documented cross-program drift
     class; render_jax keeps the bit-faithful per-channel replay).
+
+    MOMENT FORM: the column holds raw z-moments, not final gradients. All
+    five geometry gradients (main.cpp:635-683, Form.pdf sections 8-10) are
+    per-splat scalar combinations of ``M0=sum z``, ``M1=sum z*vx``,
+    ``M2=sum z*vy``, ``M3=sum z*vx^2``, ``M4=sum z*vx*vy``,
+    ``M5=sum z*vy^2`` with z = dL/dalpha * alpha (and the opacity gradient
+    sum dL/dalpha * G == M0 / op, since alpha = G*op); only the moments need
+    tile-wide vector work, so the kernel builds 5 moment planes (z*vx etc.,
+    5 multiplies) instead of the ~19-op gradient expressions, and
+    ``moments_to_grads`` applies the (a, b, d, cos, sin, 1/s^3) combinations
+    on (N,) arrays outside the kernel. Same reassociation drift class.
     """
     ga, T = carry
     gc_r, gc_g, gc_b = gc_rgb
@@ -323,38 +338,19 @@ def _bwd_splat_step(params_ref, k, fx, fy, xx, yy, inside, cfg,
         alpha >= jnp.float32(1.0), jnp.float32(1e-15),
         jnp.float32(1.0) - alpha)
     dL_da = (T * gcdot - (gf - ga) * inv1ma) * mw
-    # Common factor of the five geometry gradients (dalpha/dparam is
-    # proportional to alpha for mu, s, theta -- Form.pdf sections 8-10).
+    # Common factor of every moment (dalpha/dparam is proportional to
+    # alpha for mu, s, theta -- Form.pdf sections 8-10).
     z = dL_da * alpha
-
-    a, b, d = s["a"], s["b"], s["d"]
-    cosT, sinT = s["cosT"], s["sinT"]
-    sx, sy = s["sx"], s["sy"]
-    # Factored forms of main.cpp:657-683 (u = v rotated into the splat
-    # frame): the sx bracket is u^2, the sy bracket w^2, and the theta
-    # bracket is -u*w -- 7 vector ops instead of 17 for identical math
-    # (the reference computes the expanded trig forms; render_jax keeps
-    # them for bit-faithfulness, the kernels use the cheap factorization).
-    u = cosT * vx + sinT * vy
-    w = sinT * vx - cosT * vy
-    # 1/sx^3, 1/sy^3 and the theta prefactor are per-splat: computed on the
-    # scalar unit (rank-0 operands), turning tile-wide vector divisions
-    # into multiplies. Gradients shift <= 1 ulp (allclose-tested); every
-    # kernel family shares this step, so cross-path equality is preserved.
-    inv_sx3 = jnp.float32(1.0) / (sx * sx * sx)
-    inv_sy3 = jnp.float32(1.0) / (sy * sy * sy)
-    th_s = -(sx * sx - sy * sy) / (sx * sx * sy * sy)
 
     # Nine tile-wide sums, batched: sublane-reduce each, stack, ONE
     # cross-lane reduction (cross-lane reduces are the expensive VPU op).
-    # d(alpha)/d(mu) (main.cpp:635-640): b == c in the symmetric inverse,
-    # with the 0.5 * 2 folded away; z carries the alpha factor.
+    zx = z * vx
+    zy = z * vy
     qs = [
-        z * (a * vx + b * vy), z * (d * vy + b * vx),   # G_PX, G_PY
-        (z * inv_sx3) * (u * u), (z * inv_sy3) * (w * w),  # G_SX, G_SY
-        (z * th_s) * (u * w),                           # G_ROT
+        zx, zy,                                         # M1, M2
+        zx * vx, zx * vy, zy * vy,                      # M3, M4, M5
         gc_r * w_c, gc_g * w_c, gc_b * w_c,             # G_CR..G_CB
-        dL_da * G,                                      # G_OP (main.cpp:703)
+        z,                                              # M0
     ]
     stacked = jnp.concatenate(
         [jnp.sum(q, axis=0, keepdims=True) for q in qs], axis=0)
@@ -391,10 +387,7 @@ def _bwd_splat_step_cached(params_ref, k, fx, fy, cfg, carry, gf,
     gc_r, gc_g, gc_b = gc_rgb
     f = lambda i: params_ref[0, k, i]
     px, py = f(tl.FIELD_PX), f(tl.FIELD_PY)
-    a, b, d = f(tl.FIELD_A), f(tl.FIELD_B), f(tl.FIELD_D)
     cr, cg, cb = f(tl.FIELD_CR), f(tl.FIELD_CG), f(tl.FIELD_CB)
-    sx, sy = f(tl.FIELD_SX), f(tl.FIELD_SY)
-    cosT, sinT = f(tl.FIELD_COS), f(tl.FIELD_SIN)
     op = f(tl.FIELD_OP)
 
     m_G = gcache_ref[k]
@@ -412,18 +405,17 @@ def _bwd_splat_step_cached(params_ref, k, fx, fy, cfg, carry, gf,
     dL_da = T * gcdot - (gf - ga) * inv1ma
     z = dL_da * alpha
 
-    u = cosT * vx + sinT * vy
-    w = sinT * vx - cosT * vy
-    inv_sx3 = jnp.float32(1.0) / (sx * sx * sx)
-    inv_sy3 = jnp.float32(1.0) / (sy * sy * sy)
-    th_s = -(sx * sx - sy * sy) / (sx * sx * sy * sy)
-
+    # Moment form (see _bwd_splat_step): the geometry fields (a, b, d, cos,
+    # sin, sx, sy) are not read at all here -- their combinations happen in
+    # moments_to_grads outside the kernel. M0/op reconstructs the opacity
+    # gradient sum dL/dalpha * m_G exactly up to one scalar divide.
+    zx = z * vx
+    zy = z * vy
     qs = [
-        z * (a * vx + b * vy), z * (d * vy + b * vx),
-        (z * inv_sx3) * (u * u), (z * inv_sy3) * (w * w),
-        (z * th_s) * (u * w),
+        zx, zy,
+        zx * vx, zx * vy, zy * vy,
         gc_r * w_c, gc_g * w_c, gc_b * w_c,
-        dL_da * m_G,
+        z,
     ]
     stacked = jnp.concatenate(
         [jnp.sum(q, axis=0, keepdims=True) for q in qs], axis=0)
@@ -622,6 +614,7 @@ def backward_tiled(
     g_color: jax.Array,
     n_splats: int,
     cfg: SplatConfig,
+    params: GaussianParams,
     carry_in=None,
     interpret: bool | None = None,
     band_row0=0,
@@ -629,6 +622,9 @@ def backward_tiled(
 ) -> GaussianParams:
     """Analytic parameter gradients from a tile binning + upstream cotangent.
 
+    ``params`` is the live parameter pytree (the kernel emits raw z-moments;
+    moments_to_grads needs the per-splat fields to combine them -- the same
+    packed_fields expression that built binning.tile_params, CSE'd by XLA).
     ``carry_in`` = (C_in, T_in) is the composite state entering this splat
     shard (the ordered-monoid prefix under splat-axis sharding); identity
     when None. With band args, all images are band-shaped (band_rows*tile_h,
@@ -713,7 +709,8 @@ def backward_tiled(
         partial = partial.reshape(n_tiles, n_chunks, N_GRAD_FIELDS, kc)
         partial = jnp.transpose(partial, (0, 2, 1, 3)).reshape(
             n_tiles, N_GRAD_FIELDS, n_chunks * kc)
-        return _segment_grads(binning, partial, n_splats)
+        return moments_to_grads(
+            _segment_grads(binning, partial, n_splats), _fields_of(params, cfg))
 
     partial = pl.pallas_call(
         functools.partial(_backward_kernel, cfg=cfg),
@@ -739,7 +736,8 @@ def backward_tiled(
         interpret=interpret,
     )(off, binning.count, binning.tile_params, fin, gc, c_in, t_in)
 
-    return _segment_grads(binning, partial, n_splats)
+    return moments_to_grads(
+        _segment_grads(binning, partial, n_splats), _fields_of(params, cfg))
 
 
 def _max_per_tile(cfg: SplatConfig) -> int:
@@ -766,7 +764,8 @@ def _render_fwd(params, cfg):
 
 def _render_bwd(cfg, res, g_color):
     params, binning, color = res
-    grads = backward_tiled(binning, color, g_color, params.pos.shape[0], cfg)
+    grads = backward_tiled(binning, color, g_color, params.pos.shape[0], cfg,
+                           params)
     return (grads,)
 
 
@@ -835,6 +834,54 @@ def _l2_fused_kernel(off_ref, count_ref, params_ref, ref_ref, color_ref,
         [gacc, jnp.zeros((N_GRAD_FIELDS - 9, n_k), jnp.float32)], axis=0)
 
 
+def moments_to_grads(m: GaussianParams, fields: jax.Array) -> GaussianParams:
+    """Per-splat scalar combinations turning the kernels' raw z-moments into
+    parameter gradients (main.cpp:635-704, Form.pdf sections 8-11).
+
+    ``m`` is a GaussianParams-shaped carrier of the reduced moments
+    (pos=(M1, M2), sx=M3, sy=M4, rot=M5, opacity=M0, color final);
+    ``fields`` is the (N_FIELDS, n) packed table the kernel itself consumed
+    (tiles.packed_fields), so the combination coefficients are bitwise the
+    kernel's values. With z = dL/dalpha * alpha and v the pixel offset:
+
+      d/dmu    = a*M1 + b*M2, d*M2 + b*M1      (main.cpp:635-640)
+      d/dsx    = 1/sx^3 * sum z*u^2,  u = cos*vx + sin*vy  (main.cpp:657-662)
+      d/dsy    = 1/sy^3 * sum z*w^2,  w = sin*vx - cos*vy
+      d/dtheta = -(sx^2-sy^2)/(sx^2 sy^2) * sum z*u*w      (main.cpp:680-683)
+      d/dop    = sum dL/dalpha * G = M0 / op               (main.cpp:703)
+
+    where sum z*u^2 = cos^2*M3 + 2 sin cos*M4 + sin^2*M5 (w^2 and u*w
+    analogous). Everything here is O(n) elementwise -- the tile-wide vector
+    work stays in the kernel as 5 moment planes. Linear in the moments, so
+    psum/segment-sum of partial moments before OR after this map commute.
+    Gradients reassociate vs the in-kernel per-pixel combination (<= ~1e-7
+    relative, the documented cross-program drift class)."""
+    a, b, d = fields[tl.FIELD_A], fields[tl.FIELD_B], fields[tl.FIELD_D]
+    c, s = fields[tl.FIELD_COS], fields[tl.FIELD_SIN]
+    sx, sy, op = fields[tl.FIELD_SX], fields[tl.FIELD_SY], fields[tl.FIELD_OP]
+    m1, m2 = m.pos[:, 0], m.pos[:, 1]
+    m3, m4, m5, m0 = m.sx, m.sy, m.rot, m.opacity
+    cc, ss, cs = c * c, s * s, c * s
+    inv_sx3 = 1.0 / (sx * sx * sx)
+    inv_sy3 = 1.0 / (sy * sy * sy)
+    th_s = -(sx * sx - sy * sy) / (sx * sx * sy * sy)
+    return GaussianParams(
+        pos=jnp.stack([a * m1 + b * m2, d * m2 + b * m1], axis=-1),
+        sx=inv_sx3 * (cc * m3 + 2.0 * (cs * m4) + ss * m5),
+        sy=inv_sy3 * (ss * m3 - 2.0 * (cs * m4) + cc * m5),
+        rot=th_s * (cs * (m3 - m5) + (ss - cc) * m4),
+        color=m.color,
+        opacity=m0 / op,
+    )
+
+
+def _fields_of(params: GaussianParams, cfg: SplatConfig) -> jax.Array:
+    """The (N_FIELDS, n) packed per-splat scalars for moments_to_grads --
+    the same expression that built the kernel's table/tile_params, so XLA
+    CSEs it inside fused step programs."""
+    return tl.packed_fields(params, cfg.splat_bounds)
+
+
 def _segment_grads(binning: tl.TileBinning, partial: jax.Array,
                    n_splats: int) -> GaussianParams:
     """Segment (n_tiles, 16, K) per-tile gradient partials onto the splat
@@ -857,6 +904,7 @@ def l2_render_and_grads(
     ref_chw: jax.Array,
     n_splats: int,
     cfg: SplatConfig,
+    params: GaussianParams,
     interpret: bool | None = None,
     band_row0=0,
     band_rows: int | None = None,
@@ -879,8 +927,8 @@ def l2_render_and_grads(
     k = binning.ids.shape[1]
     if k > 256 and k % 256 == 0:
         return l2_render_and_grads_chunked(
-            binning, ref_chw, n_splats, cfg, chunk=256, interpret=interpret,
-            band_row0=band_row0, band_rows=band_rows)
+            binning, ref_chw, n_splats, cfg, params, chunk=256,
+            interpret=interpret, band_row0=band_row0, band_rows=band_rows)
     banded = band_rows is not None
     gy = band_rows if banded else cfg.n_tiles_y
     gx = cfg.n_tiles_x
@@ -915,7 +963,8 @@ def l2_render_and_grads(
         interpret=interpret,
     )(off, binning.count, binning.tile_params, ref_chw)
 
-    grads = _segment_grads(binning, partial, n_splats)
+    grads = moments_to_grads(
+        _segment_grads(binning, partial, n_splats), _fields_of(params, cfg))
     color = jnp.transpose(color[0], (1, 2, 0))
     if not banded:
         color = color[: cfg.height, : cfg.width]
@@ -1044,6 +1093,7 @@ def l2_render_and_grads_chunked(
     ref_chw: jax.Array,
     n_splats: int,
     cfg: SplatConfig,
+    params: GaussianParams,
     chunk: int = 256,
     interpret: bool | None = None,
     band_row0=0,
@@ -1114,7 +1164,8 @@ def l2_render_and_grads_chunked(
     partial = partial.reshape(n_tiles, n_chunks, N_GRAD_FIELDS, kc)
     partial = jnp.transpose(partial, (0, 2, 1, 3)).reshape(
         n_tiles, N_GRAD_FIELDS, n_chunks * kc)
-    grads = _segment_grads(binning, partial, n_splats)
+    grads = moments_to_grads(
+        _segment_grads(binning, partial, n_splats), _fields_of(params, cfg))
     color = jnp.transpose(color[0], (1, 2, 0))
     if not banded:
         color = color[: cfg.height, : cfg.width]

@@ -172,14 +172,14 @@ def _prod_fwd(params: GaussianParams, cfg: SplatConfig):
 
 def _prod_render_fwd(params, cfg):
     color, res = _prod_fwd(params, cfg)
-    return color, res
+    return color, (params,) + res
 
 
 def _prod_render_bwd(cfg, res, g_color):
     from gs2d_tpu.ops import render_pallas as rp
     from gs2d_tpu.ops import render_pallas_resident as rpr
 
-    binning, color, table = res
+    params, binning, color, table = res
     n = cfg.n_splats
     layout = resolve_binning(cfg)
     if layout == "flat":
@@ -187,11 +187,12 @@ def _prod_render_bwd(cfg, res, g_color):
         g_pad = jnp.zeros((hp, wp, 3), jnp.float32).at[
             : cfg.height, : cfg.width].set(g_color)
         grads = backward_flat(binning, color, g_pad, n, cfg,
-                              cfg.flat_chunk, cfg.flat_max_chunks)
+                              cfg.flat_chunk, cfg.flat_max_chunks,
+                              params=params)
     elif layout == "resident":
         grads = rpr.backward_resident(binning, table, color, g_color, n, cfg)
     else:
-        grads = rp.backward_tiled(binning, color, g_color, n, cfg)
+        grads = rp.backward_tiled(binning, color, g_color, n, cfg, params)
     return (grads,)
 
 
@@ -214,7 +215,7 @@ def l2_step_flat(params: GaussianParams, ref_chw: jax.Array,
                               max_chunks=cfg.flat_max_chunks)
     color, grads = l2_render_and_grads_flat(
         binning, ref_chw, params.pos.shape[0], cfg, cfg.flat_chunk,
-        cfg.flat_max_chunks)
+        cfg.flat_max_chunks, params=params)
     return color, grads, binning.n_dropped
 
 
@@ -377,6 +378,7 @@ def backward_flat(
     cfg: SplatConfig,
     kc: int,
     max_chunks: int,
+    params: GaussianParams = None,
     carry_in=None,
     interpret: bool | None = None,
     band_row0=0,
@@ -463,7 +465,10 @@ def backward_flat(
     )(off, start_blocks, binning.count, binning.rows.reshape(
         m_blocks, kc, tl.N_FIELDS), fin, gc, c_in, t_in)
 
-    return _segment_grads_flat(binning, partial[:m_blocks], n_splats)
+    from gs2d_tpu.ops.render_pallas import _fields_of, moments_to_grads
+    return moments_to_grads(
+        _segment_grads_flat(binning, partial[:m_blocks], n_splats),
+        _fields_of(params, cfg))
 
 
 def _segment_grads_flat(binning: FlatBinning, partial: jax.Array,
@@ -496,6 +501,7 @@ def l2_render_and_grads_flat(
     cfg: SplatConfig,
     kc: int,
     max_chunks: int,
+    params: GaussianParams = None,
     interpret: bool | None = None,
     band_row0=0,
     band_rows: int | None = None,
@@ -513,7 +519,7 @@ def l2_render_and_grads_flat(
     ref_hwc = jnp.transpose(ref_chw[0], (1, 2, 0))
     gC = color_p - ref_hwc  # reference dL/dC (main.cpp:616); 0 on padding
     grads = backward_flat(binning, color_p, gC, n_splats, cfg, kc,
-                          max_chunks, interpret=interpret,
+                          max_chunks, params=params, interpret=interpret,
                           band_row0=band_row0, band_rows=band_rows)
     color = color_p if banded else color_p[: cfg.height, : cfg.width]
     return color, grads

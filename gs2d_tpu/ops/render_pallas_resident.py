@@ -47,7 +47,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gs2d_tpu.config import SplatConfig
 from gs2d_tpu.ops import tiles as tl
-from gs2d_tpu.ops.render_pallas import (G_CB, G_CG, G_CR, G_OP, G_PX, G_PY,
+from gs2d_tpu.ops.render_pallas import (moments_to_grads,
+                                        G_CB, G_CG, G_CR, G_OP, G_PX, G_PY,
                                         G_ROT, G_SX, G_SY, N_GRAD_FIELDS,
                                         _bwd_splat_step, _bwd_splat_step_cached,
                                         _fwd_one, _saturating_loop,
@@ -172,7 +173,8 @@ def resident_table(params: GaussianParams, cfg: SplatConfig) -> jax.Array:
 
 
 def _unpack_grads(grads16: jax.Array, n_splats: int) -> GaussianParams:
-    """(16, n_pad) resident gradient rows -> GaussianParams pytree."""
+    """(16, n_pad) resident moment rows -> GaussianParams-shaped carrier
+    (raw z-moments; see render_pallas.moments_to_grads)."""
     g = grads16[:, :n_splats]
     return GaussianParams(
         pos=jnp.stack([g[G_PX], g[G_PY]], axis=-1),
@@ -180,6 +182,13 @@ def _unpack_grads(grads16: jax.Array, n_splats: int) -> GaussianParams:
         color=jnp.stack([g[G_CR], g[G_CG], g[G_CB]], axis=-1),
         opacity=g[G_OP],
     )
+
+
+def _table_fields(table: jax.Array, n_splats: int) -> jax.Array:
+    """(N_FIELDS, n) combination coefficients for moments_to_grads,
+    recovered from the packed resident table (bitwise the kernel's values;
+    the reshape/transpose undoes resident_table's packing)."""
+    return jnp.transpose(table.reshape(-1, tl.N_FIELDS)[:n_splats])
 
 
 def _remap_ids(binning: tl.TileBinning, n_splats: int):
@@ -247,7 +256,8 @@ def l2_render_and_grads_resident(
         interpret=interpret,
     )(off, binning.count, table, ids_s, idc, ref_chw)
 
-    grads = _unpack_grads(grads16, n_splats)
+    grads = moments_to_grads(_unpack_grads(grads16, n_splats),
+                             _table_fields(table, n_splats))
     color = jnp.transpose(color[0], (1, 2, 0))
     if not banded:
         color = color[: cfg.height, : cfg.width]
@@ -459,7 +469,8 @@ def backward_resident(
         interpret=interpret,
     )(off, binning.count, table, ids_s, idc, fin, gc, c_in, t_in)
 
-    return _unpack_grads(grads16, n_splats)
+    return moments_to_grads(_unpack_grads(grads16, n_splats),
+                            _table_fields(table, n_splats))
 
 
 def l2_step_resident(params: GaussianParams, ref_chw: jax.Array,

@@ -255,7 +255,10 @@ def l2_render_and_grads_window(
     )(off, binning.count, bases, table, ids_s, idc, ref_chw)
 
     grads16 = scatter_windows(windows, bases, n_splats)
-    grads = _unpack_grads(grads16, n_splats)
+    from gs2d_tpu.ops.render_pallas import moments_to_grads
+    from gs2d_tpu.ops.render_pallas_resident import _table_fields
+    grads = moments_to_grads(_unpack_grads(grads16, n_splats),
+                             _table_fields(table, n_splats))
     color = jnp.transpose(color[0], (1, 2, 0))[: cfg.height, : cfg.width]
     return color, grads, escaped
 

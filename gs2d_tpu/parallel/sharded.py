@@ -258,7 +258,7 @@ def _pallas_band_step(params, ref_band, cfg_shard, n_splat, monoid,
             if flat:
                 C_sub, g_sub = rpf.l2_render_and_grads_flat(
                     sub_binning(sub), ref_chw, n_local, cfg,
-                    cfg.flat_chunk, cfg.flat_max_chunks,
+                    cfg.flat_chunk, cfg.flat_max_chunks, params=params,
                     band_row0=band_r0 + sub * rows_per, band_rows=rows_per)
             elif resident:
                 C_sub, g_sub = rpr.l2_render_and_grads_resident(
@@ -266,7 +266,7 @@ def _pallas_band_step(params, ref_band, cfg_shard, n_splat, monoid,
                     band_row0=band_r0 + sub * rows_per, band_rows=rows_per)
             else:
                 C_sub, g_sub = rp.l2_render_and_grads(
-                    sub_binning(sub), ref_chw, n_local, cfg,
+                    sub_binning(sub), ref_chw, n_local, cfg, params,
                     band_row0=band_r0 + sub * rows_per, band_rows=rows_per)
             g_sub = jax.lax.psum(g_sub, TILE_AXIS)
             grads = g_sub if grads is None else jax.tree.map(
@@ -296,7 +296,7 @@ def _pallas_band_step(params, ref_band, cfg_shard, n_splat, monoid,
         if flat:
             g_sub = rpf.backward_flat(
                 sub_binning(sub), fin[px], gC[px], n_local, cfg,
-                cfg.flat_chunk, cfg.flat_max_chunks,
+                cfg.flat_chunk, cfg.flat_max_chunks, params=params,
                 carry_in=(C_in[px], T_in[px]),
                 band_row0=band_r0 + sub * rows_per, band_rows=rows_per)
         elif resident:
@@ -306,7 +306,7 @@ def _pallas_band_step(params, ref_band, cfg_shard, n_splat, monoid,
                 band_row0=band_r0 + sub * rows_per, band_rows=rows_per)
         else:
             g_sub = rp.backward_tiled(
-                sub_binning(sub), fin[px], gC[px], n_local, cfg,
+                sub_binning(sub), fin[px], gC[px], n_local, cfg, params,
                 carry_in=(C_in[px], T_in[px]),
                 band_row0=band_r0 + sub * rows_per, band_rows=rows_per)
         g_sub = jax.lax.psum(g_sub, TILE_AXIS)

@@ -409,7 +409,7 @@ def _fused_step_body(cfg: SplatConfig, with_grad_mag: bool = False):
         else:
             binning = tl.bin_splats(state.params, cfg, k)
             color, grads = rp.l2_render_and_grads(
-                binning, ref_chw, cfg.n_splats, cfg)
+                binning, ref_chw, cfg.n_splats, cfg, state.params)
             n_dropped = binning.n_dropped
         return tail(state, ref_chw, color, grads, n_dropped)
 
@@ -443,7 +443,7 @@ def _fused_step_body(cfg: SplatConfig, with_grad_mag: bool = False):
                 start=cache[1], count=cache[2], n_dropped=cache[3])
             color, grads = rpf.l2_render_and_grads_flat(
                 binning, ref_chw, cfg.n_splats, cfg, cfg.flat_chunk,
-                cfg.flat_max_chunks)
+                cfg.flat_max_chunks, params=state.params)
             new_state, aux = tail(state, ref_chw, color, grads, cache[3],
                                   rebinned=(~covered).astype(jnp.int32))
             return new_state, aux, cache
@@ -517,7 +517,7 @@ def _make_split_step_fused(cfg: SplatConfig, with_grad_mag: bool):
     def tail(state: TrainState, binning, ref_chw):
         color, grads = rpf.l2_render_and_grads_flat(
             binning, ref_chw, cfg.n_splats, cfg, cfg.flat_chunk,
-            cfg.flat_max_chunks)
+            cfg.flat_max_chunks, params=state.params)
         gmag = jnp.linalg.norm(grads.pos, axis=-1) if with_grad_mag else 0
         params, opt = adam_update(state.params, grads, state.opt, cfg)
         finite = jnp.all(jnp.array(
@@ -680,7 +680,7 @@ def make_batched_train_step_fused(cfg: SplatConfig):
         else:
             binning = tl.bin_splats(params, cfg, k)
             color, grads = rp.l2_render_and_grads(
-                binning, ref_chw, cfg.n_splats, cfg)
+                binning, ref_chw, cfg.n_splats, cfg, params)
             n_dropped = binning.n_dropped
         new_params, new_opt = adam_update(params, grads, opt, cfg)
         ref_crop = jnp.transpose(

@@ -136,7 +136,8 @@ def main():
         t_bin = timeit(bin_fn, state.params, iters=args.iters)
         print(f"binning:      {t_bin*1e3:8.2f} ms", flush=True)
         kern_fn = jax.jit(lambda b: rpf.l2_render_and_grads_flat(
-            b, refc, cfg.n_splats, cfg, cfg.flat_chunk, cfg.flat_max_chunks))
+            b, refc, cfg.n_splats, cfg, cfg.flat_chunk, cfg.flat_max_chunks,
+            params=state.params))
         t_kern = timeit(kern_fn, binning, iters=args.iters)
         print(f"fwd+bwd:      {t_kern*1e3:8.2f} ms", flush=True)
     else:
@@ -164,7 +165,8 @@ def main():
             t_kern = timeit(kern_fn, state.params, iters=args.iters)
         else:
             kern_fn = jax.jit(
-                lambda b: rp.l2_render_and_grads(b, refc, cfg.n_splats, cfg))
+                lambda b: rp.l2_render_and_grads(b, refc, cfg.n_splats, cfg,
+                                                 state.params))
             t_kern = timeit(kern_fn, binning, iters=args.iters)
         print(f"fused kernel: {t_kern*1e3:8.2f} ms", flush=True)
 

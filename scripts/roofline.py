@@ -266,12 +266,12 @@ def workload(name, w, h, n_splats, binning, image=None, iters=10):
     if binning == "flat":
         kern = jax.jit(lambda bb: rpf.l2_render_and_grads_flat(
             bb, refc, cfg.n_splats, cfg, cfg.flat_chunk,
-            cfg.flat_max_chunks))
+            cfg.flat_max_chunks, params=state.params))
         rows_bytes = (b.rows.size + b.ids.size) * 4 \
             + b.rows.size * 4  # params read + grads written back
     else:
         kern = jax.jit(lambda bb: rp.l2_render_and_grads(
-            bb, refc, cfg.n_splats, cfg))
+            bb, refc, cfg.n_splats, cfg, state.params))
         kk = b.ids.shape[1]
         n_tiles = b.ids.shape[0]
         rows_bytes = n_tiles * kk * tl.N_FIELDS * 4 * 2  # params + grads

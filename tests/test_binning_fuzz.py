@@ -214,7 +214,7 @@ def test_fused_kernel_matches_scan_fuzz(data):
     ref = np.full((48, 64, 3), 0.25, np.float32)
     refc = rp.pad_ref_chw(jnp.asarray(ref), cfg)
     b = tl.bin_splats(p, cfg, 8)
-    C, g = rp.l2_render_and_grads(b, refc, n, cfg)
+    C, g = rp.l2_render_and_grads(b, refc, n, cfg, p)
     C1, _ = render_forward(p, cfg)
     g1 = render_backward(p, C1, C1 - jnp.asarray(ref), cfg)
     np.testing.assert_allclose(np.asarray(C), np.asarray(C1), atol=3e-7)

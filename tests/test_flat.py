@@ -97,10 +97,11 @@ class TestFlatKernels:
         refc = rp.pad_ref_chw(jnp.asarray(ref), cfg)
 
         dense = tl.bin_splats(p, cfg, 96)
-        C_d, g_d = rp.l2_render_and_grads(dense, refc, 96, cfg)
+        C_d, g_d = rp.l2_render_and_grads(dense, refc, 96, cfg, p)
 
         flat, m, mc = flat_of(p, cfg)
-        C_f, g_f = rpf.l2_render_and_grads_flat(flat, refc, 96, cfg, KC, mc)
+        C_f, g_f = rpf.l2_render_and_grads_flat(flat, refc, 96, cfg, KC, mc,
+                                                params=p)
 
         np.testing.assert_allclose(np.asarray(C_f), np.asarray(C_d),
                                    atol=3e-7)
@@ -121,7 +122,7 @@ class TestFlatKernels:
         hp, wp = cfg.padded_height, cfg.padded_width
         fin_p = jnp.zeros((hp, wp, 3)).at[:H, :W].set(C1)
         gC_p = jnp.zeros((hp, wp, 3)).at[:H, :W].set(gC)
-        g2 = rpf.backward_flat(flat, fin_p, gC_p, 64, cfg, KC, mc)
+        g2 = rpf.backward_flat(flat, fin_p, gC_p, 64, cfg, KC, mc, params=p)
         for f in ("pos", "sx", "sy", "rot", "color", "opacity"):
             a = np.asarray(getattr(g1, f))
             b = np.asarray(getattr(g2, f))
@@ -193,7 +194,7 @@ class TestFlatKernels:
         refc = rp.pad_ref_chw(jnp.asarray(ref), cfg)
         flat_full, m, mc = flat_of(p, cfg)
         C_full, g_full = rpf.l2_render_and_grads_flat(
-            flat_full, refc, 64, cfg, KC, mc)
+            flat_full, refc, 64, cfg, KC, mc, params=p)
 
         rows = cfg.n_tiles_y // 2
         th = cfg.tile_h
@@ -206,7 +207,7 @@ class TestFlatKernels:
                                      band_row0=r0, band_rows=rows)
             ref_band = refc[:, :, r0 * th:(r0 + rows) * th, :]
             C_b, g_b = rpf.l2_render_and_grads_flat(
-                fb, ref_band, 64, cfg, KC, mc_b,
+                fb, ref_band, 64, cfg, KC, mc_b, params=p,
                 band_row0=r0, band_rows=rows)
             bands.append(C_b)
             g_acc = g_b if g_acc is None else jax.tree.map(

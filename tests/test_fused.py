@@ -32,9 +32,9 @@ class TestFusedKernel:
         b = tl.bin_splats(p, cfg, 128)
         refc = rp.pad_ref_chw(jnp.asarray(ref), cfg)
         if chunk is None:
-            C, g = rp.l2_render_and_grads(b, refc, 128, cfg)
+            C, g = rp.l2_render_and_grads(b, refc, 128, cfg, p)
         else:
-            C, g = rp.l2_render_and_grads_chunked(b, refc, 128, cfg,
+            C, g = rp.l2_render_and_grads_chunked(b, refc, 128, cfg, p,
                                                   chunk=chunk)
         C1, _ = render_forward(p, cfg)
         g1 = render_backward(p, C1, C1 - jnp.asarray(ref), cfg)
@@ -144,7 +144,7 @@ class TestGCache:
 
                 return rpr.l2_step_resident(p, refc, c, 96)[:2]
             b = tl.bin_splats(p, c, 96)
-            return rp.l2_render_and_grads(b, refc, 96, c)
+            return rp.l2_render_and_grads(b, refc, 96, c, p)
 
         (C_c, g_c), (C_u, g_u) = run(True), run(False)
         np.testing.assert_array_equal(np.asarray(C_c), np.asarray(C_u))
@@ -243,7 +243,7 @@ class TestChunkedModular:
         np.testing.assert_allclose(np.asarray(C), np.asarray(C1), atol=3e-7)
         np.testing.assert_allclose(np.asarray(T), np.asarray(T1), atol=3e-7)
 
-        g = rp.backward_tiled(b, C, C - jnp.asarray(ref), n, cfg)
+        g = rp.backward_tiled(b, C, C - jnp.asarray(ref), n, cfg, p)
         g1 = render_backward(p, C1, C1 - jnp.asarray(ref), cfg)
         for f in ("pos", "sx", "sy", "rot", "color", "opacity"):
             a, c = np.asarray(getattr(g1, f)), np.asarray(getattr(g, f))
@@ -268,7 +268,7 @@ class TestChunkedModular:
         assert (np.asarray(T1) < 1.0 / 256.0).any()
         np.testing.assert_allclose(np.asarray(C), np.asarray(C1), atol=3e-7)
 
-        g = rp.backward_tiled(b, C, C - jnp.asarray(ref), n, cfg)
+        g = rp.backward_tiled(b, C, C - jnp.asarray(ref), n, cfg, p)
         g1 = render_backward(p, C1, C1 - jnp.asarray(ref), cfg)
         for f in ("pos", "color", "opacity"):
             a, c = np.asarray(getattr(g1, f)), np.asarray(getattr(g, f))
@@ -289,7 +289,7 @@ class TestTileHeight:
             cfg = cfg0.replace(tile_h=th)
             b = tl.bin_splats(p, cfg, 64)
             refc = rp.pad_ref_chw(jnp.asarray(ref), cfg)
-            color, grads = rp.l2_render_and_grads(b, refc, 64, cfg)
+            color, grads = rp.l2_render_and_grads(b, refc, 64, cfg, p)
             outs[th] = (np.asarray(color)[:H, :W],
                         jax.tree.map(np.asarray, grads))
         for th in (16, 32):

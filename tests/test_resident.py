@@ -38,7 +38,7 @@ class TestResidentKernel:
         cfg, p, ref = case(rng, n, max_splats_per_tile=64)
         refc = rp.pad_ref_chw(jnp.asarray(ref), cfg)
         b = tl.bin_splats(p, cfg, 64)
-        C_d, g_d = rp.l2_render_and_grads(b, refc, n, cfg)
+        C_d, g_d = rp.l2_render_and_grads(b, refc, n, cfg, p)
         C_r, g_r, nd = rpr.l2_step_resident(p, refc, cfg, 64)
         np.testing.assert_array_equal(np.asarray(C_r), np.asarray(C_d))
         assert int(nd) == int(b.n_dropped)
@@ -80,7 +80,7 @@ class TestResidentKernel:
         ref = synthetic_target(H, W)
         refc = rp.pad_ref_chw(jnp.asarray(ref), cfg)
         b = tl.bin_splats(state.params, cfg, 64)
-        C_d, g_d = rp.l2_render_and_grads(b, refc, 64, cfg)
+        C_d, g_d = rp.l2_render_and_grads(b, refc, 64, cfg, state.params)
         C_r, g_r, _ = rpr.l2_step_resident(state.params, refc, cfg, 64)
         np.testing.assert_array_equal(np.asarray(C_r), np.asarray(C_d))
         for f in ("pos", "sx", "sy", "rot", "color", "opacity"):

@@ -50,7 +50,7 @@ def test_saturated_tile_bitwise_flat_vs_scan(monkeypatch):
     b = tlf.bin_splats_flat(p, cfg, cfg.flat_capacity, kc=cfg.flat_chunk,
                             max_chunks=cfg.flat_max_chunks)
     C, g = rpf.l2_render_and_grads_flat(
-        b, refc, 192, cfg, cfg.flat_chunk, cfg.flat_max_chunks)
+        b, refc, 192, cfg, cfg.flat_chunk, cfg.flat_max_chunks, params=p)
     g1 = render_backward(p, C1, C1 - jnp.asarray(ref), cfg)
     np.testing.assert_allclose(np.asarray(C), np.asarray(C1), atol=3e-7)
     for f in ("pos", "sx", "sy", "rot", "color", "opacity"):
@@ -79,9 +79,9 @@ def test_saturated_tile_chunked_vs_plain_dense(monkeypatch):
     ref = np.zeros((H, W, 3), np.float32)
     refc = rp.pad_ref_chw(jnp.asarray(ref), cfg)
     b_chunked = tl.bin_splats(p, cfg, 512)
-    C_c, g_c = rp.l2_render_and_grads(b_chunked, refc, 192, cfg)
+    C_c, g_c = rp.l2_render_and_grads(b_chunked, refc, 192, cfg, p)
     b_plain = tl.bin_splats(p, cfg, 192)  # K=192 -> single fused kernel
-    C_p, g_p = rp.l2_render_and_grads(b_plain, refc, 192, cfg)
+    C_p, g_p = rp.l2_render_and_grads(b_plain, refc, 192, cfg, p)
     np.testing.assert_array_equal(np.asarray(C_c), np.asarray(C_p))
     for f in ("pos", "sx", "sy", "rot", "color", "opacity"):
         np.testing.assert_array_equal(

@@ -118,7 +118,7 @@ class TestPallasBackward:
         ref = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
         gC = C - ref
         g1 = render_backward(p, C, gC, cfg)
-        g2 = rp.backward_tiled(b, C, gC, 96, cfg)
+        g2 = rp.backward_tiled(b, C, gC, 96, cfg, p)
         for f in ("pos", "sx", "sy", "rot", "color", "opacity"):
             a, c = np.asarray(getattr(g1, f)), np.asarray(getattr(g2, f))
             atol = 1e-4 * max(1.0, np.abs(a).max())

@@ -75,7 +75,7 @@ class TestWindowKernel:
         ref = synthetic_target(H, W)
         refc = rp.pad_ref_chw(jnp.asarray(ref), cfg)
         b = tl.bin_splats(p, cfg, 128)
-        C_d, g_d = rp.l2_render_and_grads(b, refc, 256, cfg)
+        C_d, g_d = rp.l2_render_and_grads(b, refc, 256, cfg, p)
         C_w, g_w, nd = rpw.l2_step_window(p, refc, cfg, 128)
         np.testing.assert_array_equal(np.asarray(C_w), np.asarray(C_d))
         assert int(nd) == int(b.n_dropped)
