@@ -79,7 +79,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="lazy rebinning: bin with this many pixels of "
                         "footprint slack and reuse the binning across scan "
                         "steps until a splat escapes it (resident or flat "
-                        "layout + --scan-chunk only; 0 = rebin every step)")
+                        "layout + --scan-chunk only; 0 = rebin every step; "
+                        "-1 = auto from measured pair inflation)")
     p.add_argument("--mesh", default="",
                    help="data,tile,splat axis sizes for multi-device runs "
                         "(e.g. 1,2,4); empty = single device")

@@ -516,6 +516,39 @@ def tune_max_tiles_per_splat(
         cap, cfg.n_tiles_x * cfg.n_tiles_y))
 
 
+def tune_rebin_margin(
+    p: GaussianParams,
+    cfg: SplatConfig,
+    candidates: tuple = (2.0, 1.0),
+    max_inflation: float = 0.30,
+) -> SplatConfig:
+    """Pick the lazy-rebinning slack from the MEASURED pair inflation.
+
+    A margined binning adds pairs that are always masked in the kernel
+    (they only buy fewer rebins), so the slack is a trade: pair inflation
+    costs kernel time every step, rebins cost a binning pass on cache
+    misses. The hardware sweeps (BASELINE.md "Lazy rebinning on hardware")
+    show margin 1-2 saturating the win at ordinary densities, but a dense
+    overlapping population can inflate the margined pair set far past the
+    ~7% the bench workload pays -- there the slack should shrink or turn
+    off rather than tax every step.
+
+    Called with cfg.rebin_margin < 0 (the CLI's --rebin-margin -1 = auto):
+    bins counts-only at margin 0 and at each candidate (descending), picks
+    the largest candidate whose total pair count stays within
+    ``max_inflation`` of exact, and falls back to 0 (eager per-step
+    rebinning) when even the smallest candidate exceeds it."""
+    base = int(jax.device_get(jax.jit(
+        lambda q: bin_splats(q, cfg, 1, counts_only=True).sum())(p)))
+    for m in sorted(candidates, reverse=True):
+        n = int(jax.device_get(jax.jit(
+            lambda q, m=m: bin_splats(q, cfg, 1, counts_only=True,
+                                      margin=m).sum())(p)))
+        if base == 0 or n <= base * (1.0 + max_inflation):
+            return cfg.replace(rebin_margin=float(m))
+    return cfg.replace(rebin_margin=0.0)
+
+
 def tune_tile_capacity(
     p: GaussianParams,
     cfg: SplatConfig,

@@ -204,6 +204,13 @@ def fit(
 
         from gs2d_tpu.ops import render_pallas_flat as _rpf
 
+        if cfg.rebin_margin < 0:
+            # --rebin-margin -1 = auto: pick the slack from the measured
+            # pair inflation (falls back to eager when a margin taxes the
+            # kernel more than it saves in binning).
+            from gs2d_tpu.ops import tiles as _tl
+
+            cfg = _tl.tune_rebin_margin(state.params, cfg)
         if _rpf.use_flat(cfg):
             if cfg.flat_capacity is None or cfg.flat_max_chunks is None:
                 cfg = _rpf.tune_flat_config(state.params, cfg)
@@ -222,6 +229,8 @@ def fit(
         step_fn = make_train_step_fused(cfg)
         ref = rp.pad_ref_chw(jnp.asarray(ref), cfg)
     else:
+        if cfg.rebin_margin != 0:
+            cfg = cfg.replace(rebin_margin=0.0)  # modular path rebins eagerly
         step_fn = make_train_step(cfg, render_fn, ssim_lambda=ssim_lambda)
     if use_fused and scan_chunk and scan_chunk > 1 and _needs_split(cfg):
         # Scanning would fuse binning+kernels into one program; at these

@@ -206,3 +206,38 @@ class TestTileHeightPolicy:
                          init_scale_min=1.0, init_scale_max=2.0)
         assert tune_tile_height(px, init_params(px)).tile_h \
             == PRODUCTION_TILE_H
+
+
+class TestTuneRebinMargin:
+    """--rebin-margin -1 (auto): slack from measured pair inflation."""
+
+    def test_sparse_keeps_full_margin(self, rng):
+        # Big footprints spanning several tiles: 2px of slack barely moves
+        # the binned-pair count.
+        cfg, s, p = make_case(rng, 16)
+        s.sx[:] = 12.0
+        s.sy[:] = 12.0
+        out = tl.tune_rebin_margin(
+            to_params(s), cfg.replace(rebin_margin=-1.0))
+        assert out.rebin_margin == 2.0
+
+    def test_tiny_footprints_back_off(self, rng):
+        # Tiny splats on small tiles: every pixel of slack spills most
+        # footprints into neighbour tiles, inflating pairs far past 30%.
+        n = 64
+        cfg = SplatConfig(width=W, height=H, n_splats=n, tile_h=8)
+        s = random_splats(rng, n, W, H)
+        s.sx[:] = 0.8
+        s.sy[:] = 0.8
+        out = tl.tune_rebin_margin(
+            to_params(s), cfg.replace(rebin_margin=-1.0))
+        assert out.rebin_margin < 2.0
+
+    def test_monotone_superset(self, rng):
+        # The tuned margin always bins a superset of the exact pairs.
+        cfg, s, p = make_case(rng, 32)
+        out = tl.tune_rebin_margin(p, cfg.replace(rebin_margin=-1.0))
+        exact = int(tl.bin_splats(p, cfg, 1, counts_only=True).sum())
+        marg = int(tl.bin_splats(p, cfg, 1, counts_only=True,
+                                 margin=out.rebin_margin).sum())
+        assert marg >= exact
