@@ -17,14 +17,16 @@ Methodology (all ceilings MEASURED on this chip, not copied from datasheets):
 
 Hand op-count per pair-step (f32 vector ops on (8,128), from
 render_pallas._splat_terms/_fwd_one/_bwd_splat_step, post the round-4
-cotangent-weighted (ga) replay refactor):
+cotangent-weighted (ga) replay + MOMENT-FORM refactors: the backward
+emits raw z-moments, the per-splat gradient combinations run outside
+the kernel in moments_to_grads):
   forward   ~40  (coverage 22, alpha/exp 8, composite 10)
-  backward  ~80  (re-derive coverage+alpha 30, ga replay + dL/dalpha 14,
-                  param grads 14, 9 sublane reduces ~14, one-hot
-                  accumulate ~4/lane-block)
+  backward  ~72  (re-derive coverage+alpha 30, ga replay + dL/dalpha 14,
+                  5 moment planes + 3 color 8, 9 sublane reduces ~14,
+                  one-hot accumulate ~4/lane-block)
   backward (G-cache replay, _bwd_splat_step_cached: fused/resident
-  kernels when K fits GCACHE_BUDGET_BYTES) ~48 -- no re-derivation,
-  no mask ops.
+  kernels when K fits GCACHE_BUDGET_BYTES) ~44 -- no re-derivation,
+  no mask ops, no geometry-field SMEM reads at all.
 Pass --cached to model the G-cache backward instead of the re-deriving
 one. Results land in BASELINE.md.
 """
@@ -125,8 +127,8 @@ def measure_vpu_fma():
 
 
 FWD_OPS = 40   # vector ops per pair-step, hand-counted (docstring)
-BWD_OPS = 80   # re-deriving backward (ga replay, round 4)
-BWD_OPS_CACHED = 48  # G-cache backward (_bwd_splat_step_cached)
+BWD_OPS = 72   # re-deriving backward (moment form, round 4)
+BWD_OPS_CACHED = 44  # G-cache backward (_bwd_splat_step_cached)
 
 
 def workload_scan_diff(name, w, h, n_splats, binning, image=None, iters=60):
