@@ -419,7 +419,12 @@ def bin_splats(
 
 PRODUCTION_TILE_H = 32
 DEEP_TILE_H = 64
-DEEPER_TILE_H = 128
+# 128-row tiles are RETIRED from the policy (round 4): the moment-form
+# kernel body at tile_h=128 exceeded a 60-minute remote compile on the
+# v5e terminal (the round-2 tile_h=256 wedge class), while tile_h=64
+# measures within noise of the old 128 row (1M sigma-init: 469 ms at 64
+# vs round-3's 465 at 128) -- the compile-time risk buys nothing.
+DEEPER_TILE_H = 64
 # Mean (splat, tile) pairs per 32-row tile above which taller tiles win:
 # at extreme depth the saturating walk amortizes the bigger tile's masked
 # rows over far fewer, deeper lists (1M sigma-init, mean 6534 pairs/tile:
@@ -479,11 +484,8 @@ def tune_tile_height(cfg: SplatConfig,
     # the old depth-only rule picked 64 and LOST 1.33x (841 vs 629 ms/iter
     # at tile_h=32); sigma-6-10 init (span ~2.5, depth 6534) keeps winning
     # with 64/128 (1.70 -> 0.47 s, BASELINE.md round-2 sweep).
-    if span > TALL_TILE_MIN_SPAN:
-        if depth > DEEPER_TILE_THRESHOLD:
-            return cfg.replace(tile_h=DEEPER_TILE_H)
-        if depth > DEEP_TILE_THRESHOLD:
-            return cfg.replace(tile_h=DEEP_TILE_H)
+    if span > TALL_TILE_MIN_SPAN and depth > DEEP_TILE_THRESHOLD:
+        return cfg.replace(tile_h=DEEP_TILE_H)
     return cfg32
 
 
