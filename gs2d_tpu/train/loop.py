@@ -37,9 +37,21 @@ class TrainState:
     opt: AdamState
 
 
+@functools.lru_cache(maxsize=32)
+def _init_train_state_jit(cfg: SplatConfig):
+    def mk():
+        params = init_params(cfg)
+        return TrainState(params=params, opt=init_adam_state(params))
+
+    return jax.jit(mk)
+
+
 def init_train_state(cfg: SplatConfig) -> TrainState:
-    params = init_params(cfg)
-    return TrainState(params=params, opt=init_adam_state(params))
+    # One device program instead of ~100 eager dispatches: on the tunneled
+    # runtime each tiny eager op pays ~2.5 ms pipelined dispatch, making
+    # eager init ~320 ms vs ~100 jitted (measured 2026-08-20) -- it
+    # dominated the convergence report's short-run wall clock.
+    return _init_train_state_jit(cfg)()
 
 
 class StepAux(NamedTuple):

@@ -72,6 +72,11 @@ def main():
     # upper bound: the wall clock when the block containing the hit has been
     # fetched (i.e. provably complete on device).
     state = init_train_state(cfg)
+    # Materialize the initial state BEFORE the clock: the C++ baseline
+    # timer also starts its clock after init_pop and allocations
+    # (oracle/baseline_timer.cpp:266), so the timed region covers exactly
+    # the optimization loop on both sides.
+    float(jnp.ravel(state.params.opacity)[0])
     t0 = time.perf_counter()
     hit_iter, hit_time = None, None
     final_mse = None
