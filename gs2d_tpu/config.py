@@ -110,8 +110,10 @@ class SplatConfig:
     # (tiles.pairs_covered_by -- an exact, conservative test). Superset
     # pairs contribute exactly nothing mathematically, so trajectories
     # match per-step rebinning (to <= 1 ulp/step of excess-precision
-    # slot-shift noise). 0 disables (bin every step). Only the resident
-    # (ids-only) layout caches today; other layouts ignore this.
+    # slot-shift noise). 0 disables (bin every step). Both cache-capable
+    # layouts honor it: resident (ids-only) AND flat (margined superset
+    # pair rows, train/loop.py); -1 on the CLI auto-tunes the margin from
+    # measured pair inflation. dense/window always rebin.
     rebin_margin: float = 0.0
 
     # --- binning layout (net-new; see ops/tiles.py vs ops/tiles_flat.py) --

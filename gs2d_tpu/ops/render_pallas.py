@@ -871,7 +871,12 @@ def moments_to_grads(m: GaussianParams, fields: jax.Array) -> GaussianParams:
         sy=inv_sy3 * (ss * m3 - 2.0 * (cs * m4) + cc * m5),
         rot=th_s * (cs * (m3 - m5) + (ss - cc) * m4),
         color=m.color,
-        opacity=m0 / op,
+        # M0/op reconstructs sum dL/dalpha * G (alpha = G*op). Dead slots
+        # parked by densify/prune have op == 0 and exactly zero moments
+        # (their footprint never composites), so the true gradient is 0 --
+        # guard the 0/0 rather than poison Adam moments with NaN
+        # (reference emits G directly, main.cpp:703, never dividing).
+        opacity=jnp.where(op > 0.0, m0 / jnp.where(op > 0.0, op, 1.0), 0.0),
     )
 
 

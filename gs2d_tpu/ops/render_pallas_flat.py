@@ -378,7 +378,7 @@ def backward_flat(
     cfg: SplatConfig,
     kc: int,
     max_chunks: int,
-    params: GaussianParams = None,
+    params: GaussianParams,
     carry_in=None,
     interpret: bool | None = None,
     band_row0=0,
@@ -501,7 +501,7 @@ def l2_render_and_grads_flat(
     cfg: SplatConfig,
     kc: int,
     max_chunks: int,
-    params: GaussianParams = None,
+    params: GaussianParams,
     interpret: bool | None = None,
     band_row0=0,
     band_rows: int | None = None,

@@ -305,3 +305,30 @@ class TestTileHeight:
         assert tl.tune_tile_height(cfg).tile_h == tl.PRODUCTION_TILE_H
         big = SplatConfig(width=3840, height=2160, n_splats=8)
         assert tl.tune_tile_height(big).tile_h == tl.PRODUCTION_TILE_H
+
+
+class TestDeadSlotGrads:
+    """moments_to_grads must emit exactly-zero (not NaN) opacity gradients
+    for dead slots (opacity == 0, as densify/prune parks them).
+
+    Regression (ADVICE round 4, medium): the moment-form refactor computed
+    the opacity gradient as M0/op, which is 0/0 = NaN on dead slots where
+    the reference form (main.cpp:703, dalpha/do = G) gives exact 0. The
+    NaN was masked by freeze_dead_slots in the trainer but contaminated
+    any direct consumer of the returned grads."""
+
+    def test_zero_opacity_grads_are_zero(self, rng):
+        from gs2d_tpu.train.densify import DEAD_POS
+        cfg, p, ref = case(rng, 64, max_splats_per_tile=64)
+        # park slots 0..4 the way densify_and_prune does
+        p = jax.tree.map(jnp.asarray, p)
+        p = p.replace(
+            pos=p.pos.at[:5].set(DEAD_POS),
+            opacity=p.opacity.at[:5].set(0.0))
+        b = tl.bin_splats(p, cfg, 64)
+        refc = rp.pad_ref_chw(jnp.asarray(ref), cfg)
+        _, g = rp.l2_render_and_grads(b, refc, 64, cfg, p)
+        for f in ("pos", "sx", "sy", "rot", "color", "opacity"):
+            arr = np.asarray(getattr(g, f))
+            assert np.isfinite(arr).all(), f"{f} grads not finite"
+        assert (np.asarray(g.opacity)[:5] == 0.0).all()
