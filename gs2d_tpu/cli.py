@@ -242,7 +242,8 @@ def main(argv=None) -> int:
             refj[None], cfg, mesh, iterations=args.iters,
             log_every=args.log_every,
             renderer="pallas" if use_pallas else "scan",
-            ssim_lambda=args.ssim)
+            ssim_lambda=args.ssim, scan_chunk=args.scan_chunk,
+            densify_every=args.densify_every)
         for rec in hist:
             logger.log(**rec)
         print(f"done (sharded over {mesh.shape})")

@@ -164,7 +164,8 @@ def _ordered_monoid_scan(C_loc, T_loc, axis: str):
 
 
 def _pallas_band_step(params, ref_band, cfg_shard, n_splat, monoid,
-                      band_tile_rows, overlap_chunks, max_k, cot_fn=None):
+                      band_tile_rows, overlap_chunks, max_k, cot_fn=None,
+                      prebuilt=None):
     """Production per-device band step (inside shard_map).
 
     ``cot_fn`` (band color -> band cotangent) replaces the L2 cotangent
@@ -172,6 +173,11 @@ def _pallas_band_step(params, ref_band, cfg_shard, n_splat, monoid,
     caller gathers the full image inside it); forcing the split
     forward/backward structure even with one splat shard, since the fused
     kernel hard-codes the L2 cotangent.
+
+    ``prebuilt`` skips the binning build and uses the given band-scoped
+    binning instead (the lazy-rebinning cache of the scanned sharded
+    fitter; for the resident layout the SMEM table is still rebuilt from
+    the live params -- it is the id lists that are cached).
 
     Bins the device's band once, then computes (final band color, grads
     psum'd over the tile axis, n_dropped). The backward runs in
@@ -207,7 +213,11 @@ def _pallas_band_step(params, ref_band, cfg_shard, n_splat, monoid,
     n_local = params.pos.shape[0]
     band_r0 = jax.lax.axis_index(TILE_AXIS) * band_tile_rows
     table = None
-    if flat:
+    if prebuilt is not None:
+        binning = prebuilt
+        if resident:
+            table = rpr.resident_table(params, cfg)
+    elif flat:
         binning = tlf.bin_splats_flat(
             params, cfg, cfg.flat_capacity, kc=cfg.flat_chunk,
             max_chunks=cfg.flat_max_chunks,
@@ -315,6 +325,134 @@ def _pallas_band_step(params, ref_band, cfg_shard, n_splat, monoid,
     return fin, grads, binning.n_dropped
 
 
+def _validate_band_mesh(cfg: SplatConfig, mesh: Mesh, combine: str,
+                        renderer: str, overlap_chunks: int):
+    """Shared mesh/band validation for the sharded step builders.
+
+    Returns (band_h, band_tile_rows, overlap_chunks) after checking the
+    tile-axis band alignment, splat divisibility, and flat statics."""
+    if combine not in ("fold", "scan"):
+        raise ValueError(f"unknown combine {combine!r}")
+    if renderer not in ("scan", "pallas"):
+        raise ValueError(f"unknown renderer {renderer!r}")
+    if renderer == "pallas":
+        from gs2d_tpu.ops import render_pallas_flat as rpf
+
+        if rpf.use_flat(cfg) and (cfg.flat_capacity is None
+                                  or cfg.flat_max_chunks is None):
+            raise ValueError(
+                "flat binning statics unset; call tune_flat_config(params, "
+                "cfg, n_bands=<tile axis size>) before building the step")
+    n_tile = mesh.shape[TILE_AXIS]
+    n_splat = mesh.shape[SPLAT_AXIS]
+    if cfg.padded_height % n_tile:
+        raise ValueError(
+            f"padded height {cfg.padded_height} not divisible by tile axis "
+            f"{n_tile}; adjust tile_h or mesh")
+    if cfg.n_splats % n_splat:
+        raise ValueError("n_splats must divide over the splat axis")
+    band_h = cfg.padded_height // n_tile
+    if renderer == "pallas" and band_h % cfg.tile_h:
+        raise ValueError("tile-axis bands must align to tile_h for the "
+                         "pallas renderer")
+    band_tile_rows = band_h // cfg.tile_h
+    if overlap_chunks <= 0:
+        overlap_chunks = 1
+        if n_tile > 1 and renderer == "pallas":
+            for c in (4, 3, 2):
+                if band_tile_rows % c == 0:
+                    overlap_chunks = c
+                    break
+    if band_tile_rows % overlap_chunks:
+        raise ValueError(
+            f"band of {band_tile_rows} tile rows not divisible by "
+            f"overlap_chunks={overlap_chunks}")
+    return band_h, band_tile_rows, overlap_chunks
+
+
+def _ssim_cot_fn(cfg: SplatConfig, band_h: int, ssim_lambda: float,
+                 ref_band, y0):
+    """Band cotangent of the mixed L2+SSIM objective.
+
+    SSIM windows cross band boundaries: gather the full image over the
+    tile axis, autodiff the loss head on it (replicated compute, one
+    image-sized gather), slice this band of the cotangent back."""
+    from gs2d_tpu.train.ssim import mixed_loss
+
+    def cot_fn(fin_band):
+        full = jax.lax.all_gather(fin_band, TILE_AXIS, axis=0, tiled=True)
+        ref_full = jax.lax.all_gather(ref_band, TILE_AXIS, axis=0,
+                                      tiled=True)
+
+        def head(c):
+            return mixed_loss(c[: cfg.height, : cfg.width],
+                              ref_full[: cfg.height, : cfg.width],
+                              ssim_lambda)
+
+        g_full = jax.grad(head)(full)
+        return jax.lax.dynamic_slice_in_dim(g_full, y0, band_h, 0)
+
+    return cot_fn
+
+
+def _band_cache_fns(cfg: SplatConfig, band_tile_rows: int, max_k):
+    """(make_cache, binning_of) for the lazy-rebinning band cache, or
+    (None, None) when cfg's layout has no cacheable binning structure.
+
+    The cache is the per-device band-scoped id structure built with
+    ``cfg.rebin_margin`` px of footprint slack plus the params snapshot it
+    was built from; ``binning_of`` materializes a kernel-ready binning
+    from the cache and the LIVE params (flat re-runs the O(M) row
+    pregather; resident needs ids only -- its SMEM table is rebuilt by
+    ``_pallas_band_step``). Same contract as the single-chip lazy cache
+    (train/loop.py::_fused_step_body), checked per device by the exact
+    ``tiles.pairs_covered_by`` tripwire."""
+    from gs2d_tpu.ops import render_pallas as rp
+    from gs2d_tpu.ops import render_pallas_flat as rpf
+    from gs2d_tpu.ops import tiles as tlmod
+    from gs2d_tpu.ops import tiles_flat as tlf
+
+    layout = rpf.resolve_binning(cfg)
+
+    def band_r0():
+        return jax.lax.axis_index(TILE_AXIS) * band_tile_rows
+
+    if layout == "flat":
+        def make_cache(params):
+            b = tlf.bin_splats_flat(
+                params, cfg, cfg.flat_capacity, kc=cfg.flat_chunk,
+                max_chunks=cfg.flat_max_chunks, band_row0=band_r0(),
+                band_rows=band_tile_rows, ids_only=True,
+                margin=cfg.rebin_margin)
+            return (b.ids, b.start, b.count, b.n_dropped, params)
+
+        def binning_of(cache, params):
+            return tlf.FlatBinning(
+                ids=cache[0],
+                rows=tlf.pregather_rows(cache[0], params, cfg),
+                start=cache[1], count=cache[2], n_dropped=cache[3])
+
+        return make_cache, binning_of
+    if layout == "resident":
+        k = max_k or rp._max_per_tile(cfg)
+
+        def make_cache(params):
+            b = tlmod.bin_splats(params, cfg, k, band_row0=band_r0(),
+                                 band_rows=band_tile_rows, ids_only=True,
+                                 margin=cfg.rebin_margin)
+            return (b.ids, b.count, b.n_dropped, params)
+
+        def binning_of(cache, params):
+            del params  # table rebuilt by _pallas_band_step
+            return tlmod.TileBinning(
+                ids=cache[0],
+                tile_params=jnp.zeros((1, 1, tlmod.N_FIELDS), jnp.float32),
+                count=cache[1], n_dropped=cache[2])
+
+        return make_cache, binning_of
+    return None, None
+
+
 def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
                             combine: str = "fold",
                             renderer: str = "scan",
@@ -348,43 +486,11 @@ def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
     and slices its band of the cotangent back for the analytic backward.
     Reported mse stays the plain L2 metric.
     """
-    if combine not in ("fold", "scan"):
-        raise ValueError(f"unknown combine {combine!r}")
-    if renderer not in ("scan", "pallas"):
-        raise ValueError(f"unknown renderer {renderer!r}")
-    if renderer == "pallas":
-        from gs2d_tpu.ops import render_pallas_flat as rpf
-
-        if rpf.use_flat(cfg) and (cfg.flat_capacity is None
-                                  or cfg.flat_max_chunks is None):
-            raise ValueError(
-                "flat binning statics unset; call tune_flat_config(params, "
-                "cfg, n_bands=<tile axis size>) before building the step")
+    band_h, band_tile_rows, overlap_chunks = _validate_band_mesh(
+        cfg, mesh, combine, renderer, overlap_chunks)
     monoid = _ordered_monoid_fold if combine == "fold" else _ordered_monoid_scan
     n_tile = mesh.shape[TILE_AXIS]
     n_splat = mesh.shape[SPLAT_AXIS]
-    if cfg.padded_height % n_tile:
-        raise ValueError(
-            f"padded height {cfg.padded_height} not divisible by tile axis "
-            f"{n_tile}; adjust tile_h or mesh")
-    if cfg.n_splats % n_splat:
-        raise ValueError("n_splats must divide over the splat axis")
-    band_h = cfg.padded_height // n_tile
-    if renderer == "pallas" and band_h % cfg.tile_h:
-        raise ValueError("tile-axis bands must align to tile_h for the "
-                         "pallas renderer")
-    band_tile_rows = band_h // cfg.tile_h
-    if overlap_chunks <= 0:
-        overlap_chunks = 1
-        if n_tile > 1 and renderer == "pallas":
-            for c in (4, 3, 2):
-                if band_tile_rows % c == 0:
-                    overlap_chunks = c
-                    break
-    if band_tile_rows % overlap_chunks:
-        raise ValueError(
-            f"band of {band_tile_rows} tile rows not divisible by "
-            f"overlap_chunks={overlap_chunks}")
     # Sharded splat axis -> exact associative monoid (threshold off).
     cfg_shard = cfg.replace(min_throughput=0.0) if n_splat > 1 else cfg
     n_real_px = cfg.height * cfg.width * 3
@@ -392,25 +498,8 @@ def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
     def one_image_step(params: GaussianParams, opt, ref_band):
         y0 = jax.lax.axis_index(TILE_AXIS) * band_h
 
-        cot_fn = None
-        if ssim_lambda:
-            from gs2d_tpu.train.ssim import mixed_loss
-
-            def cot_fn(fin_band):
-                # SSIM windows cross band boundaries: gather the full
-                # image, autodiff the head on it, slice this band back.
-                full = jax.lax.all_gather(fin_band, TILE_AXIS, axis=0,
-                                          tiled=True)
-                ref_full = jax.lax.all_gather(ref_band, TILE_AXIS, axis=0,
-                                              tiled=True)
-
-                def head(c):
-                    return mixed_loss(c[: cfg.height, : cfg.width],
-                                      ref_full[: cfg.height, : cfg.width],
-                                      ssim_lambda)
-
-                g_full = jax.grad(head)(full)
-                return jax.lax.dynamic_slice_in_dim(g_full, y0, band_h, 0)
+        cot_fn = _ssim_cot_fn(cfg, band_h, ssim_lambda, ref_band, y0) \
+            if ssim_lambda else None
 
         if renderer == "pallas":
             fin, grads, n_drop = _pallas_band_step(
@@ -476,7 +565,10 @@ def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
         aux = StepAux(mse=mse, psnr=psnr_from_mse(mse),
                       all_finite=jnp.broadcast_to(finite, mse.shape),
                       n_dropped=drop_total, pos_grad_mag=gmag,
-                      rebinned=jnp.int32(0))  # no lazy rebinning sharded yet
+                      # The per-step sharded step bins eagerly by design;
+                      # lazy rebinning under the mesh lives in the scanned
+                      # fitter (make_fit_scan_sharded), which reports it.
+                      rebinned=jnp.int32(0))
         return new_state, aux
 
     sspec = state_pspec()
@@ -500,6 +592,181 @@ def make_sharded_train_step(cfg: SplatConfig, mesh: Mesh,
     return step, shardings
 
 
+def make_fit_scan_sharded(cfg: SplatConfig, mesh: Mesh, *,
+                          combine: str = "fold",
+                          renderer: str = "pallas",
+                          overlap_chunks: int = 0,
+                          ssim_lambda: float = 0.0,
+                          with_grad_mag: bool = False):
+    """On-device multi-iteration SHARDED fitter: shard_map(lax.scan(step)).
+
+    The distributed counterpart of ``train.loop.make_fit_scan_fused``: one
+    device program per mesh executes ``n_iters`` complete sharded
+    iterations (band binning + kernels + monoid combine + grad psum +
+    Adam) with zero host round-trips. On the tunneled/remote runtime a
+    synchronous dispatch costs a fixed ~30 ms RTT (scripts/
+    scan_floor_probe.py), so the per-step ``fit_sharded`` host loop pays
+    that tax every iteration; this is the production shape (the north
+    star's "fitting loop entirely on-device" over a pod).
+
+    ``cfg.rebin_margin`` > 0 enables lazy rebinning UNDER the mesh for the
+    resident and flat layouts: each device carries its band's margined
+    binning cache in the scan state, runs the exact
+    ``tiles.pairs_covered_by`` tripwire on its local splat shard every
+    step, and ``lax.cond``-rebins only its own band when a footprint
+    escapes the slack (no collective in either branch, so devices decide
+    independently; the aux's ``rebinned`` flag is the pmax across the
+    mesh). The local batch is mapped with ``lax.map``, not vmap -- vmap
+    over a pallas_call with rank-1 SMEM inputs fails to lower on real
+    TPUs (CLAUDE.md gotcha), and vmap would also degrade the rebin cond
+    into a both-branches select.
+
+    With ``with_grad_mag`` the (B, N) densify signal is accumulated in
+    the scan carry and replaces the aux's per-step field (same contract
+    as make_fit_scan_fused). Returns (fit_k(state, refs, n_iters) ->
+    (state, stacked StepAux), shardings dict).
+    """
+    band_h, band_tile_rows, overlap_chunks = _validate_band_mesh(
+        cfg, mesh, combine, renderer, overlap_chunks)
+    monoid = _ordered_monoid_fold if combine == "fold" else _ordered_monoid_scan
+    n_tile = mesh.shape[TILE_AXIS]
+    n_splat = mesh.shape[SPLAT_AXIS]
+    cfg_shard = cfg.replace(min_throughput=0.0) if n_splat > 1 else cfg
+    n_real_px = cfg.height * cfg.width * 3
+    n_local = cfg.n_splats // n_splat
+
+    make_cache = binning_of = None
+    if renderer == "pallas" and cfg.rebin_margin > 0:
+        make_cache, binning_of = _band_cache_fns(
+            cfg_shard, band_tile_rows, cfg.max_splats_per_tile)
+    lazy = make_cache is not None
+
+    from gs2d_tpu.ops import tiles as tlmod
+
+    def img_step(params, opt, ref_band, cache):
+        y0 = jax.lax.axis_index(TILE_AXIS) * band_h
+        cot_fn = _ssim_cot_fn(cfg, band_h, ssim_lambda, ref_band, y0) \
+            if ssim_lambda else None
+        rebinned = jnp.int32(0)
+        prebuilt = None
+        if lazy:
+            covered = tlmod.pairs_covered_by(
+                params, cache[-1], cfg_shard, cfg.rebin_margin) \
+                & (cache[-2] == 0)
+            cache = jax.lax.cond(
+                covered, lambda c: c,
+                lambda c: make_cache(params), cache)
+            prebuilt = binning_of(cache, params)
+            rebinned = (~covered).astype(jnp.int32)
+        if renderer == "pallas":
+            fin, grads, n_drop = _pallas_band_step(
+                params, ref_band, cfg_shard, n_splat, monoid,
+                band_tile_rows, overlap_chunks, cfg.max_splats_per_tile,
+                cot_fn=cot_fn, prebuilt=prebuilt)
+            gC = fin - ref_band
+        else:
+            C_loc, T_loc = render_forward_band(params, cfg_shard, y0, band_h)
+            n_drop = jnp.int32(0)
+            if n_splat > 1:
+                fin, _, C_in, T_in = monoid(C_loc, T_loc, SPLAT_AXIS)
+                carry_in = (C_in, T_in)
+            else:
+                fin = C_loc
+                carry_in = None
+            gC = fin - ref_band
+            g_obj = gC if cot_fn is None else cot_fn(fin)
+            grads = render_backward_band(
+                params, fin, g_obj, cfg_shard, y0, band_h, carry_in)
+            grads = jax.lax.psum(grads, TILE_AXIS)
+        gmag = jnp.linalg.norm(grads.pos, axis=-1)
+        params_new, opt_new = adam_update(params, grads, opt, cfg)
+        band_sq = jnp.sum(gC * gC)
+        mse = jax.lax.psum(band_sq, TILE_AXIS) * jnp.float32(255.0 * 255.0) \
+            / jnp.float32(n_real_px)
+        return params_new, opt_new, mse, n_drop, gmag, rebinned, cache
+
+    def local_fit(state: TrainState, refs, n_iters: int):
+        b_local = refs.shape[0]
+        if lazy:
+            caches0 = jax.lax.map(make_cache, state.params)
+        else:
+            caches0 = jnp.zeros((b_local,), jnp.int32)
+        accum0 = jnp.zeros((b_local, n_local), jnp.float32)
+
+        def body(carry, _):
+            st, caches, acc = carry
+
+            def img(t):
+                params, m, v, b1t, b2t, stp, ref_band, cache = t
+                opt = type(st.opt)(m=m, v=v, beta1t=b1t, beta2t=b2t,
+                                   step=stp)
+                p2, o2, mse, n_drop, gmag, reb, cache = img_step(
+                    params, opt, ref_band, cache)
+                return (p2, o2.m, o2.v, o2.beta1t, o2.beta2t, o2.step,
+                        mse, n_drop, gmag, reb, cache)
+
+            (p2, m2, v2, b1t, b2t, stp, mse, n_drop, gmag, reb,
+             caches) = jax.lax.map(
+                img, (st.params, st.opt.m, st.opt.v, st.opt.beta1t,
+                      st.opt.beta2t, st.opt.step, refs, caches))
+            opt = type(st.opt)(m=m2, v=v2, beta1t=b1t, beta2t=b2t, step=stp)
+            new_state = TrainState(params=p2, opt=opt)
+
+            bad_local = jnp.float32(0.0)
+            for leaf in jax.tree.leaves(p2):
+                bad_local = bad_local + jnp.sum(
+                    (~jnp.isfinite(leaf)).astype(jnp.float32))
+            bad = jax.lax.psum(jax.lax.psum(bad_local, SPLAT_AXIS),
+                               TILE_AXIS)
+            finite = bad == 0.0
+            drop_total = jax.lax.psum(jax.lax.psum(jax.lax.psum(
+                jnp.sum(n_drop), SPLAT_AXIS), TILE_AXIS), DATA_AXIS)
+            # 1 when ANY device-image rebinned this step (matches the
+            # single-chip flag's "this step paid a rebin" meaning).
+            reb_any = jnp.max(reb)
+            for ax in (SPLAT_AXIS, TILE_AXIS, DATA_AXIS):
+                reb_any = jax.lax.pmax(reb_any, ax)
+            acc = acc + gmag
+            aux = StepAux(
+                mse=mse, psnr=psnr_from_mse(mse),
+                all_finite=jnp.broadcast_to(finite, mse.shape),
+                n_dropped=drop_total,
+                pos_grad_mag=jnp.float32(0.0), rebinned=reb_any)
+            return (new_state, caches, acc), aux
+
+        (state, _, accum), auxes = jax.lax.scan(
+            body, (state, caches0, accum0), None, length=n_iters)
+        if with_grad_mag:
+            auxes = auxes._replace(pos_grad_mag=accum)
+        return state, auxes
+
+    sspec = state_pspec()
+    aux_spec = StepAux(
+        mse=P(None, DATA_AXIS), psnr=P(None, DATA_AXIS),
+        all_finite=P(None, DATA_AXIS), n_dropped=P(None),
+        pos_grad_mag=(P(DATA_AXIS, SPLAT_AXIS) if with_grad_mag
+                      else P(None)),
+        rebinned=P(None))
+
+    @functools.lru_cache(maxsize=8)
+    def _sharded_for(n_iters: int):
+        return shard_map(
+            functools.partial(local_fit, n_iters=n_iters), mesh=mesh,
+            in_specs=(sspec, ref_pspec()),
+            out_specs=(sspec, aux_spec),
+            check_vma=False)
+
+    @functools.partial(jax.jit, static_argnames=("n_iters",))
+    def fit_k(state: TrainState, refs, n_iters: int):
+        return _sharded_for(n_iters)(state, refs)
+
+    shardings = {
+        "state": jax.tree.map(lambda s: NamedSharding(mesh, s), sspec),
+        "ref": NamedSharding(mesh, ref_pspec()),
+    }
+    return fit_k, shardings
+
+
 def fit_sharded(
     refs,
     cfg: SplatConfig,
@@ -514,6 +781,7 @@ def fit_sharded(
     densify_every: int = 0,
     densify_cfg=None,
     ssim_lambda: float = 0.0,
+    scan_chunk: int = 0,
 ):
     """Host driver for multi-device fitting over a batch of targets.
 
@@ -521,7 +789,13 @@ def fit_sharded(
     on-device accumulated |dL/d pos| signal (StepAux.pos_grad_mag); the
     densify op itself runs jitted on the sharded state (GSPMD inserts the
     collectives its argsort needs). ``ssim_lambda`` > 0 optimizes the
-    mixed L2+SSIM objective (see make_sharded_train_step)."""
+    mixed L2+SSIM objective (see make_sharded_train_step).
+
+    ``scan_chunk`` > 1 runs iterations in on-device ``lax.scan`` blocks of
+    that size via ``make_fit_scan_sharded`` (no host dispatch per step --
+    the production shape on a remote runtime; lazy rebinning per
+    ``cfg.rebin_margin`` runs under the mesh). Logging/densify granularity
+    becomes the block (blocks are clipped to densify boundaries)."""
     n_tile = mesh.shape[TILE_AXIS]
     if renderer == "pallas" and cfg.n_tiles_y % n_tile:
         # Round the tile grid so each device's band is whole tile rows
@@ -551,12 +825,6 @@ def fit_sharded(
 
             p0 = jax.tree.map(lambda x: x[0], state.params)
             cfg = _tl.tune_tile_capacity(p0, cfg)
-    step, shardings = make_sharded_train_step(cfg, mesh, combine=combine,
-                                              renderer=renderer,
-                                              overlap_chunks=overlap_chunks,
-                                              ssim_lambda=ssim_lambda)
-    state = jax.device_put(state, shardings["state"])
-    refs = jax.device_put(refs, shardings["ref"])
     densify_fn = None
     if densify_every:
         from gs2d_tpu.train.densify import (DensifyConfig,
@@ -565,6 +833,22 @@ def fit_sharded(
         dcfg = densify_cfg or DensifyConfig()
         densify_fn = jax.jit(functools.partial(
             densify_and_prune_batched, cfg=cfg, dcfg=dcfg))
+    if scan_chunk and scan_chunk > 1:
+        fit_k, shardings = make_fit_scan_sharded(
+            cfg, mesh, combine=combine, renderer=renderer,
+            overlap_chunks=overlap_chunks, ssim_lambda=ssim_lambda,
+            with_grad_mag=bool(densify_every))
+        state = jax.device_put(state, shardings["state"])
+        refs = jax.device_put(refs, shardings["ref"])
+        return _fit_sharded_scanned(
+            state, refs, fit_k, cfg, iterations, scan_chunk, log_every,
+            log_fn, densify_every, densify_fn)
+    step, shardings = make_sharded_train_step(cfg, mesh, combine=combine,
+                                              renderer=renderer,
+                                              overlap_chunks=overlap_chunks,
+                                              ssim_lambda=ssim_lambda)
+    state = jax.device_put(state, shardings["state"])
+    refs = jax.device_put(refs, shardings["ref"])
     accum = None
     history = []
     warned_drop = False
@@ -590,5 +874,72 @@ def fit_sharded(
                     log_fn(f"WARNING: binning capacity overflow at iter {it}:"
                            f" {int(jnp.asarray(aux.n_dropped))} splat-tile "
                            "pairs dropped; raise max_splats_per_tile")
+    jax.block_until_ready(jax.tree.leaves(state)[0])
+    return state, history
+
+
+def _fit_sharded_scanned(state, refs, fit_k, cfg, iterations, scan_chunk,
+                         log_every, log_fn, densify_every, densify_fn):
+    """fit_sharded body for scan_chunk > 1: on-device sharded scan blocks.
+
+    Mirrors train.loop._fit_scanned: per-block fetch of the stacked aux,
+    NaN tripwire raise, capacity-overflow and persistent-rebin warnings,
+    densify at block boundaries (blocks are clipped so densify_every is a
+    block edge)."""
+    import numpy as _np
+
+    history = []
+    warned_drop = False
+    warned_rebin = False
+    accum = None
+    done = 0
+    while done < iterations:
+        n = min(scan_chunk, iterations - done)
+        if densify_every:
+            to_boundary = densify_every - done % densify_every
+            n = min(n, to_boundary)
+        state, auxes = fit_k(state, refs, n)
+        mse_block = jax.device_get(auxes.mse)          # (n, B)
+        finite_block = jax.device_get(auxes.all_finite)
+        if not bool(finite_block.all()):
+            bad = int(_np.argmin(finite_block.all(axis=1)))
+            raise FloatingPointError(
+                f"non-finite splat parameters at iteration {done + bad} "
+                "(reference aborts here, main.cpp:752-785)")
+        if densify_fn is not None:
+            g = auxes.pos_grad_mag                     # block-accumulated
+            accum = g if accum is None else accum + g
+            end = done + n
+            if end % densify_every == 0 and end < iterations:
+                state = densify_fn(state, accum, seed=end)
+                accum = None
+        if not warned_drop:
+            total_drop = int(jax.device_get(jnp.sum(
+                jnp.asarray(auxes.n_dropped))))
+            if total_drop > 0:
+                warned_drop = True
+                if log_fn:
+                    log_fn(f"WARNING: binning capacity overflow: {total_drop}"
+                           " splat-tile pairs dropped in this block")
+        if not warned_rebin and cfg.rebin_margin > 0 and n >= 8:
+            # Same tripwire economics as the single-chip scanned fitter
+            # (train/loop.py): a block where every step rebinds means the
+            # cache never validates -- strictly worse than eager binning.
+            reb = int(jax.device_get(jnp.sum(jnp.asarray(auxes.rebinned))))
+            if reb == n:
+                warned_rebin = True
+                if log_fn:
+                    log_fn(
+                        "WARNING: lazy rebinning rebinned on every step of "
+                        f"this {n}-step block (cache never validates); "
+                        "re-tune binning or set rebin_margin=0")
+        for j in range(n):
+            it = done + j
+            if log_every and (it % log_every == 0 or it == iterations - 1):
+                mse = [float(m) for m in mse_block[j]]
+                history.append({"iter": it, "mse": mse})
+                if log_fn:
+                    log_fn(f"{it} itr, mse {mse}")
+        done += n
     jax.block_until_ready(jax.tree.leaves(state)[0])
     return state, history

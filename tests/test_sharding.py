@@ -367,3 +367,122 @@ class TestShardedSaturatingWalk:
                         jax.tree.leaves(out["pallas"][0].params)):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=1e-4, atol=2e-3)
+
+
+class TestScannedShardedFitter:
+    """make_fit_scan_sharded: the on-device scanned sharded fitter
+    (shard_map(lax.scan(step))) must match the per-step sharded driver on
+    every mesh shape and binning layout, with lazy rebinning carried in
+    the scan state per device band (net-new; the reference's hot loop is
+    main.cpp:334-851)."""
+
+    @pytest.mark.parametrize("axes", MESHES, ids=lambda a: "x".join(
+        f"{k}{v}" for k, v in a.items()))
+    def test_scan_renderer_matches_stepwise(self, axes):
+        from gs2d_tpu.parallel.sharded import make_fit_scan_sharded
+
+        cfg = cfg_for(min_throughput=0.0)
+        ref = jnp.asarray(synthetic_target(H, W))
+        mesh = make_mesh(**axes)
+        batch = axes["data"]
+        refs = jnp.broadcast_to(ref[None], (batch, H, W, 3))
+        want, hist = fit_sharded(refs, cfg, mesh, iterations=3, log_fn=None)
+
+        fit_k, sh = make_fit_scan_sharded(cfg, mesh, renderer="scan")
+        state = jax.device_put(init_batched_state(cfg, batch), sh["state"])
+        refs_p = jax.device_put(pad_ref_batch(refs, cfg), sh["ref"])
+        state, auxes = fit_k(state, refs_p, 3)
+        assert auxes.mse.shape == (3, batch)
+        assert bool(np.asarray(auxes.all_finite).all())
+        for f in ("pos", "color"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(state.params, f)),
+                np.asarray(getattr(want.params, f)),
+                rtol=1e-4, atol=2e-2, err_msg=f)
+
+    @pytest.mark.parametrize("layout,margin", [
+        ("dense", 0.0), ("resident", 2.0), ("flat", 2.0)])
+    def test_pallas_layouts_and_lazy_rebinning(self, layout, margin):
+        """Scanned pallas fitter on a (1,2,2) mesh == the eager per-step
+        sharded pallas step; with rebin_margin > 0 the cached binning is
+        carried across scan iterations per device band."""
+        from gs2d_tpu.parallel.sharded import (make_fit_scan_sharded,
+                                               make_sharded_train_step)
+
+        mesh = make_mesh(data=1, tile=2, splat=2)
+        cfg = cfg_for(min_throughput=0.0, max_splats_per_tile=64,
+                      binning=layout, rebin_margin=margin)
+        if layout == "flat":
+            from gs2d_tpu.ops.render_pallas_flat import tune_flat_config
+
+            cfg = cfg.replace(flat_chunk=32)
+            cfg = tune_flat_config(init_params(cfg), cfg, n_bands=2)
+        ref = jnp.asarray(synthetic_target(H, W))
+        refs = jnp.broadcast_to(ref[None], (1, H, W, 3))
+
+        step, sh = make_sharded_train_step(
+            cfg.replace(rebin_margin=0.0), mesh, renderer="pallas")
+        st_ref = jax.device_put(init_batched_state(cfg, 1), sh["state"])
+        refs_p = jax.device_put(pad_ref_batch(refs, cfg), sh["ref"])
+        for _ in range(3):
+            st_ref, aux = step(st_ref, refs_p)
+
+        fit_k, sh2 = make_fit_scan_sharded(cfg, mesh, renderer="pallas")
+        state = jax.device_put(init_batched_state(cfg, 1), sh2["state"])
+        state, auxes = fit_k(state, refs_p, 3)
+        np.testing.assert_allclose(
+            float(np.asarray(auxes.mse)[-1, 0]), float(aux.mse[0]),
+            rtol=1e-5)
+        for f in ("pos", "sx", "sy", "rot", "color", "opacity"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(state.params, f)),
+                np.asarray(getattr(st_ref.params, f)),
+                rtol=1e-4, atol=2e-2, err_msg=f)
+
+    def test_lazy_rebin_fires_on_margin_escape(self):
+        """Force a rebin: after a step with a huge lr the footprints move
+        past the margin, so the second step must rebin (rebinned=1) and
+        still match eager binning."""
+        from gs2d_tpu.parallel.sharded import make_fit_scan_sharded
+
+        mesh = make_mesh(tile=2)
+        cfg = cfg_for(min_throughput=0.0, max_splats_per_tile=64,
+                      binning="resident", rebin_margin=0.5,
+                      learning_rate=3.0)
+        ref = jnp.asarray(synthetic_target(H, W))
+        refs = jnp.broadcast_to(ref[None], (1, H, W, 3))
+        fit_k, sh = make_fit_scan_sharded(cfg, mesh, renderer="pallas")
+        state = jax.device_put(init_batched_state(cfg, 1), sh["state"])
+        refs_p = jax.device_put(pad_ref_batch(refs, cfg), sh["ref"])
+        state, auxes = fit_k(state, refs_p, 4)
+        reb = np.asarray(auxes.rebinned)
+        assert reb.dtype == np.int32 and reb.shape == (4,)
+        assert reb[1:].sum() >= 1, "lr=3.0 moves splats past 0.5px margin"
+        # eager reference trajectory
+        cfg0 = cfg.replace(rebin_margin=0.0)
+        fit_k0, sh0 = make_fit_scan_sharded(cfg0, mesh, renderer="pallas")
+        st0 = jax.device_put(init_batched_state(cfg0, 1), sh0["state"])
+        st0, _ = fit_k0(st0, refs_p, 4)
+        np.testing.assert_allclose(
+            np.asarray(state.params.pos), np.asarray(st0.params.pos),
+            rtol=1e-4, atol=2e-2)
+
+    def test_fit_sharded_scan_chunk_with_densify(self):
+        """The host driver's scan_chunk path: blocks clip to densify
+        boundaries, pos_grad_mag accumulates across blocks, populations
+        stay finite and capacity-stable."""
+        from gs2d_tpu.train.densify import live_mask
+
+        mesh = make_mesh(data=2, tile=2, splat=2)
+        cfg = cfg_for(min_throughput=0.0, max_splats_per_tile=64,
+                      binning="resident", rebin_margin=2.0)
+        ref = jnp.asarray(synthetic_target(H, W))
+        refs = jnp.broadcast_to(ref[None], (2, H, W, 3))
+        state, hist = fit_sharded(
+            refs, cfg, mesh, iterations=8, log_every=4, log_fn=None,
+            renderer="pallas", scan_chunk=3, densify_every=4)
+        assert np.isfinite(np.asarray(state.params.pos)).all()
+        assert state.params.pos.shape[1] == cfg.n_splats  # static capacity
+        assert int(live_mask(jax.tree.map(
+            lambda x: x[0], state.params)).sum()) > 0
+        assert hist and len(hist[-1]["mse"]) == 2
