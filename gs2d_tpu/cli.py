@@ -109,39 +109,67 @@ def _fit_batch(args, cfg, refs, logger) -> int:
 
     from gs2d_tpu.io.image import save_image
     from gs2d_tpu.ops import render_pallas as rp
+    from gs2d_tpu.ops import render_pallas_flat as rpf
     from gs2d_tpu.ops import tiles as tl
     from gs2d_tpu.parallel.sharded import init_batched_state
     from gs2d_tpu.train.loop import init_train_state, \
-        make_batched_train_step_fused
+        make_batched_train_step_fused, make_fit_scan_batched
 
-    for flag in ("mesh", "resume", "recover", "densify_every", "scan_chunk"):
+    for flag in ("mesh", "resume", "recover", "densify_every"):
         if getattr(args, flag):
             print(f"error: --{flag.replace('_', '-')} is not supported with "
                   "multi-image batch fitting")
             return 2
-    if cfg.binning == "flat":
-        print("error: multi-image batch fitting uses dense binning")
-        return 2
     b = len(refs)
-    if cfg.max_splats_per_tile is None:
-        cfg = tl.tune_tile_capacity(init_train_state(cfg).params, cfg)
+    p0 = init_train_state(cfg).params
+    if cfg.rebin_margin < 0:
+        cfg = tl.tune_rebin_margin(p0, cfg)
+    if rpf.use_flat(cfg):
+        if cfg.flat_capacity is None or cfg.flat_max_chunks is None:
+            # Statics sized on the (shared) init population; per-image
+            # divergence past the margin surfaces in n_dropped.
+            cfg = rpf.tune_flat_config(p0, cfg)
+    elif cfg.max_splats_per_tile is None:
+        cfg = tl.tune_tile_capacity(p0, cfg)
     refs_chw = jnp.stack([rp.pad_ref_chw(jnp.asarray(r), cfg) for r in refs])
     state = init_batched_state(cfg, b)
-    step = make_batched_train_step_fused(cfg)
     t0 = time.perf_counter()
     aux = None
-    for it in range(args.iters):
-        state, aux = step(state, refs_chw)
-        if it % 32 == 31:  # bound the async dispatch queue (tunnel)
-            float(aux.mse[0])
-        if args.log_every and (it % args.log_every == 0
-                               or it == args.iters - 1):
-            if not bool(aux.all_finite.all()):
+    if args.scan_chunk and args.scan_chunk > 1:
+        fit_k = make_fit_scan_batched(cfg)
+        done = 0
+        while done < args.iters:
+            n = min(args.scan_chunk, args.iters - done)
+            state, auxes = fit_k(state, refs_chw, n)
+            if not bool(jax.device_get(auxes.all_finite).all()):
                 raise FloatingPointError(
-                    f"non-finite splat parameters at iteration {it}")
-            mse = [float(x) for x in jax.device_get(aux.mse)]
-            logger.log(iter=it, mse=mse)
-            print(f"{it} itr, mse " + " ".join(f"{m:.2f}" for m in mse))
+                    f"non-finite splat parameters in block at {done}")
+            mse_block = jax.device_get(auxes.mse)
+            for j in range(n):
+                it = done + j
+                if args.log_every and (it % args.log_every == 0
+                                       or it == args.iters - 1):
+                    mse = [float(x) for x in mse_block[j]]
+                    logger.log(iter=it, mse=mse)
+                    print(f"{it} itr, mse "
+                          + " ".join(f"{m:.2f}" for m in mse))
+            done += n
+        jax.block_until_ready(state.params.pos)
+    else:
+        step = make_batched_train_step_fused(cfg)
+        for it in range(args.iters):
+            state, aux = step(state, refs_chw)
+            if it % 32 == 31:  # bound the async dispatch queue (tunnel)
+                float(aux.mse[0])
+            if args.log_every and (it % args.log_every == 0
+                                   or it == args.iters - 1):
+                if not bool(aux.all_finite.all()):
+                    raise FloatingPointError(
+                        f"non-finite splat parameters at iteration {it}")
+                mse = [float(x) for x in jax.device_get(aux.mse)]
+                logger.log(iter=it, mse=mse)
+                print(f"{it} itr, mse " + " ".join(f"{m:.2f}" for m in mse))
+        jax.block_until_ready(state.params.pos)
     total = time.perf_counter() - t0
     print(f"fit {b} images x {args.iters} iters in {total:.2f}s "
           f"({args.iters / total:.1f} batched iters/s)")

@@ -682,32 +682,18 @@ def make_batched_train_step_fused(cfg: SplatConfig):
     batch deliberately runs as ``lax.map``, not vmap: vmap over a
     pallas_call with rank-1 SMEM inputs fails to lower on real TPUs (see
     the body comment), and on one chip the images execute sequentially
-    either way. Binning follows resolve_binning (resident at small N,
-    dense otherwise; the flat layout is not supported under the batched
-    step).
+    either way. Every resolve_binning layout is supported -- the body is
+    the production ``_fused_step_body`` per image (flat requires the
+    statics from ``tune_flat_config``, sized on the init population which
+    is identical across images; per-image divergence past the tuning
+    margin surfaces in n_dropped, never silently).
     """
-    from gs2d_tpu.ops import render_pallas as rp
-    from gs2d_tpu.ops import render_pallas_flat as rpf
-    from gs2d_tpu.ops import render_pallas_resident as rpr
-    from gs2d_tpu.ops import tiles as tl
-
-    k = rp._max_per_tile(cfg)
-    resident = rpf.resolve_binning(cfg) == "resident"
-
-    def one_image(params, opt, ref_chw):
-        if resident:
-            color, grads, n_dropped = rpr.l2_step_resident(
-                params, ref_chw, cfg, k)
-        else:
-            binning = tl.bin_splats(params, cfg, k)
-            color, grads = rp.l2_render_and_grads(
-                binning, ref_chw, cfg.n_splats, cfg, params)
-            n_dropped = binning.n_dropped
-        new_params, new_opt = adam_update(params, grads, opt, cfg)
-        ref_crop = jnp.transpose(
-            ref_chw[0], (1, 2, 0))[: cfg.height, : cfg.width]
-        mse = mse_255(color, ref_crop)
-        return new_params, new_opt, mse, n_dropped
+    if _needs_split(cfg):
+        raise ValueError(
+            "flat capacity exceeds the single-program budget "
+            f"(SPLIT_STEP_ROWS={SPLIT_STEP_ROWS}); batch fitting at this "
+            "scale should run images separately (or on a data-axis mesh)")
+    one_step = _fused_step_body(cfg)
 
     def body(state: TrainState, refs_chw: jax.Array):
         # lax.map, not vmap: vmap over the pallas_call adds a squeezed
@@ -717,8 +703,13 @@ def make_batched_train_step_fused(cfg: SplatConfig):
         # interpret-mode CPU tests never lower so they can't catch it).
         # The images are independent; on one chip the batch executes
         # sequentially either way (vmap's extra grid dim is also serial).
+        def img(t):
+            params, opt, ref_chw = t
+            st, aux = one_step(TrainState(params=params, opt=opt), ref_chw)
+            return st.params, st.opt, aux.mse, aux.n_dropped
+
         params, opt, mse, n_drop = jax.lax.map(
-            lambda t: one_image(*t), (state.params, state.opt, refs_chw))
+            img, (state.params, state.opt, refs_chw))
         finite = jnp.all(
             jnp.array(
                 [jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree.leaves(params)]
@@ -736,16 +727,54 @@ def make_batched_train_step_fused(cfg: SplatConfig):
 
 def make_fit_scan_batched(cfg: SplatConfig):
     """On-device multi-iteration batched fitter: ``lax.scan`` of the
-    vmapped fused step (one device program fits B independent images for
+    lax.map'd fused step (one device program fits B independent images for
     n_iters iterations -- the single-chip production shape for the
-    data-parallel axis, matching make_fit_scan_fused's contract)."""
-    body = make_batched_train_step_fused(cfg).body
+    data-parallel axis, matching make_fit_scan_fused's contract).
+
+    ``cfg.rebin_margin`` > 0 carries a per-image lazy-rebinning cache in
+    the scan state (resident/flat layouts): under ``lax.map`` the rebin
+    ``lax.cond`` stays a real cond per image (vmap would degrade it to a
+    both-branches select)."""
+    if _needs_split(cfg):
+        raise ValueError(
+            "flat capacity exceeds the single-program budget; see "
+            "make_batched_train_step_fused")
+    one_step = _fused_step_body(cfg)
+    cached = getattr(one_step, "cached", None)
 
     @functools.partial(jax.jit, static_argnames=("n_iters",))
     def fit_k(state: TrainState, refs_chw: jax.Array, n_iters: int):
-        def f(st, _):
-            return body(st, refs_chw)
+        b = refs_chw.shape[0]
+        caches0 = jax.lax.map(one_step.make_bin_cache, state.params) \
+            if cached is not None else jnp.zeros((b,), jnp.int32)
 
-        return jax.lax.scan(f, state, None, length=n_iters)
+        def body(carry, _):
+            st, caches = carry
+
+            def img(t):
+                params, opt, ref_chw, cache = t
+                st_i = TrainState(params=params, opt=opt)
+                if cached is not None:
+                    new_st, aux, cache = cached(st_i, ref_chw, cache)
+                else:
+                    new_st, aux = one_step(st_i, ref_chw)
+                return (new_st.params, new_st.opt, aux.mse, aux.n_dropped,
+                        aux.rebinned, cache)
+
+            params, opt, mse, n_drop, reb, caches = jax.lax.map(
+                img, (st.params, st.opt, refs_chw, caches))
+            finite = jnp.all(jnp.array(
+                [jnp.all(jnp.isfinite(leaf))
+                 for leaf in jax.tree.leaves(params)]))
+            aux = StepAux(
+                mse=mse, psnr=psnr_from_mse(mse),
+                all_finite=jnp.broadcast_to(finite, mse.shape),
+                n_dropped=jnp.sum(n_drop),
+                rebinned=jnp.max(jnp.asarray(reb)))
+            return (TrainState(params=params, opt=opt), caches), aux
+
+        (state, _), auxes = jax.lax.scan(
+            body, (state, caches0), None, length=n_iters)
+        return state, auxes
 
     return fit_k

@@ -332,3 +332,59 @@ class TestDeadSlotGrads:
             arr = np.asarray(getattr(g, f))
             assert np.isfinite(arr).all(), f"{f} grads not finite"
         assert (np.asarray(g.opacity)[:5] == 0.0).all()
+
+
+class TestBatchedFlatLayout:
+    """Batched multi-image fitting on the FLAT layout (north-star configs[4]
+    needs flat at 4K-scale populations; round-4 VERDICT missing item 4)."""
+
+    def test_flat_batched_matches_single(self, rng):
+        from gs2d_tpu.ops import render_pallas_flat as rpf
+        from gs2d_tpu.parallel.sharded import init_batched_state
+        from gs2d_tpu.train.loop import (make_batched_train_step_fused,
+                                         make_train_step_fused)
+
+        cfg = SplatConfig(width=W, height=H, n_splats=96, binning="flat",
+                          flat_chunk=32)
+        from gs2d_tpu.params import init_params
+        cfg = rpf.tune_flat_config(init_params(cfg), cfg)
+        refs = np.stack([synthetic_target(H, W, seed=s) for s in (0, 2)])
+        refs_chw = jnp.stack([rp.pad_ref_chw(jnp.asarray(r), cfg)
+                              for r in refs])
+        state = init_batched_state(cfg, 2)
+        bstate, baux = make_batched_train_step_fused(cfg)(state, refs_chw)
+        sstep = make_train_step_fused(cfg)
+        for i in range(2):
+            s_i = jax.tree.map(lambda x: x[i], state)
+            out_i, aux_i = sstep(s_i, refs_chw[i])
+            assert np.isclose(float(baux.mse[i]), float(aux_i.mse),
+                              rtol=1e-6)
+            for f in ("pos", "color"):
+                np.testing.assert_allclose(
+                    np.asarray(getattr(bstate.params, f))[i],
+                    np.asarray(getattr(out_i.params, f)), atol=1e-6)
+
+    def test_flat_batched_scan_with_lazy_rebinning(self, rng):
+        """Scanned batched fitter carries per-image flat caches; margin=2
+        trajectory matches eager margin=0 within the documented drift."""
+        from gs2d_tpu.ops import render_pallas_flat as rpf
+        from gs2d_tpu.params import init_params
+        from gs2d_tpu.parallel.sharded import init_batched_state
+        from gs2d_tpu.train.loop import make_fit_scan_batched
+
+        cfg0 = SplatConfig(width=W, height=H, n_splats=96, binning="flat",
+                           flat_chunk=32)
+        cfg0 = rpf.tune_flat_config(init_params(cfg0), cfg0)
+        refs = np.stack([synthetic_target(H, W, seed=s) for s in (0, 2)])
+        refs_chw = jnp.stack([rp.pad_ref_chw(jnp.asarray(r), cfg0)
+                              for r in refs])
+        state = init_batched_state(cfg0, 2)
+        s_eager, _ = make_fit_scan_batched(cfg0)(state, refs_chw, 4)
+        cfg2 = cfg0.replace(rebin_margin=2.0)
+        s_lazy, auxes = make_fit_scan_batched(cfg2)(state, refs_chw, 4)
+        assert np.asarray(auxes.rebinned).shape == (4,)
+        for f in ("pos", "sx", "sy", "rot", "color", "opacity"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(s_lazy.params, f)),
+                np.asarray(getattr(s_eager.params, f)),
+                rtol=1e-4, atol=2e-4, err_msg=f)
