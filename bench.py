@@ -7,6 +7,16 @@ Workload: squirrel_cls_mini.jpg (268x213) fit with 1024 splats -- the
 reference's default configuration (/root/reference/main.cpp:257,271).
 Baseline denominator: 39.7 iters/s, the C++ re-timing measured with
 oracle/baseline_timer.cpp on this machine (see BASELINE.md).
+
+BENCH CONTRACT (frozen 2026-08-20, round 5; see BASELINE.md):
+the headline is the PIPELINED-SCAN number -- 5 back-to-back 200-iter
+on-device lax.scan segments of the production fit, ONE scalar fetch at
+the end, so the tunnel's fixed ~30-35 ms dispatch+fetch RTT amortizes
+over 1000 iterations instead of being charged to 200 (an EMPTY 200-iter
+scan times at 0.146 ms/iter on this runtime -- the RTT is real but is
+not per-iteration work; scripts/scan_floor_probe.py). Rounds 1-3
+charged one full RTT per 200-iter block; the single-block number is
+printed alongside on stderr for continuity with BENCH_r01..r03.
 """
 
 import json
@@ -92,11 +102,20 @@ def main():
         fit_k = make_fit_scan_fused(cfg)
         state, auxes = fit_k(state, refj, iters)  # warmup/compile
         float(auxes.mse[-1])
+        # Continuity number (rounds 1-3 methodology): ONE 200-iter block
+        # with its dispatch+fetch RTT charged to the block.
+        t0 = time.perf_counter()
+        state, auxes = fit_k(state, refj, iters)
+        float(auxes.mse[-1])
+        dt_single = (time.perf_counter() - t0) / iters
         t0 = time.perf_counter()
         for _ in range(reps):
             state, auxes = fit_k(state, refj, iters)
         float(auxes.mse[-1])
         dt = (time.perf_counter() - t0) / (iters * reps)
+        print(f"single-block continuity number (r1-r3 methodology): "
+              f"{1.0 / dt_single:.1f} it/s ({dt_single * 1e3:.3f} ms/iter)",
+              file=sys.stderr)
     else:
         refj = jnp.asarray(ref)
         step = make_train_step(cfg)

@@ -438,8 +438,11 @@ GCACHE_BUDGET_BYTES = 12 * 1024 * 1024
 
 
 def _use_gcache(cfg: SplatConfig, k_cap: int) -> bool:
+    from gs2d_tpu.utils.hardware import resolve_budget
+
+    budget = resolve_budget("gcache_vmem", GCACHE_BUDGET_BYTES)
     return (cfg.alpha_cache
-            and k_cap * cfg.tile_h * cfg.tile_w * 4 <= GCACHE_BUDGET_BYTES)
+            and k_cap * cfg.tile_h * cfg.tile_w * 4 <= budget)
 
 
 def _fwd_chunked_kernel(off_ref, count_ref, params_ref, color_ref, trans_ref,

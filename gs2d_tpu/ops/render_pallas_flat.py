@@ -58,6 +58,8 @@ FLAT_THRESHOLD = 2048
 RESIDENT_THRESHOLD = 4096
 # v5e SMEM is 1 MiB (measured via the allocator report, see
 # render_pallas_resident._TableView); leave headroom for count/scalars.
+# Other TPU generations resolve through utils.hardware.resolve_budget
+# (per-kind table / GS2D_SMEM_TABLE_BUDGET env override).
 _RESIDENT_SMEM_BUDGET = 800 * 1024
 
 
@@ -70,11 +72,14 @@ def _resident_fits(cfg: SplatConfig) -> bool:
     so its real footprint uses K rounded up to 128 -- without this, tuned
     K=64 configs near the budget auto-select resident and then fail SMEM
     allocation at compile time."""
+    from gs2d_tpu.utils.hardware import resolve_budget
+
     k = cfg.max_splats_per_tile or min(max(256, cfg.n_splats // 4), 4096)
     k_padded = -(-k // 128) * 128
     table = 4 * tl.N_FIELDS * (cfg.n_splats + 1)
     ids = 4 * cfg.n_tiles_x * cfg.n_tiles_y * k_padded
-    return table + ids <= _RESIDENT_SMEM_BUDGET
+    return table + ids <= resolve_budget("smem_table",
+                                         _RESIDENT_SMEM_BUDGET)
 
 
 def resolve_binning(cfg: SplatConfig) -> str:

@@ -62,3 +62,61 @@ def warn_if_untuned() -> bool:
         + "; ".join(_POLICY_CONSTANTS),
         stacklevel=3)
     return False
+
+
+# --- allocation-critical budget resolution (round 5) ----------------------
+#
+# Two policy constants are not merely tuning knobs but ALLOCATION bounds:
+# exceeding the real SMEM with the resident table fails compilation, and
+# exceeding VMEM with the G-cache scratch can wedge a remote compile. They
+# are resolved through this table so a port to another TPU generation has
+# ONE place to supply swept values (or the env overrides below) instead of
+# silently inheriting v5e numbers. Unknown TPU kinds fall back to the v5e
+# budgets -- conservative for every announced generation (none ships less
+# on-core memory than v5e's 1 MiB SMEM / ~16 MiB VMEM) -- and
+# warn_if_untuned keeps the re-sweep debt loud.
+#
+# Env overrides (bytes): GS2D_SMEM_TABLE_BUDGET, GS2D_GCACHE_BUDGET.
+
+_V5E_BUDGETS = {
+    # Measured on this bench's v5e (BASELINE.md): SMEM 1 MiB (exact sizes
+    # from the Mosaic allocator error), VMEM ~16 MiB/core. Budgets leave
+    # headroom for counts/scalars (SMEM) and the fused kernels' other
+    # blocks + double buffering (VMEM).
+    "smem_table": 800 * 1024,
+    "gcache_vmem": 12 * 1024 * 1024,
+}
+
+_GEN_BUDGETS = {
+    # kind-substring -> budget dict; extend when swept on new hardware.
+    "v5 lite": _V5E_BUDGETS,
+    "v5e": _V5E_BUDGETS,
+    "v5litepod": _V5E_BUDGETS,
+}
+
+_ENV_KEYS = {"smem_table": "GS2D_SMEM_TABLE_BUDGET",
+             "gcache_vmem": "GS2D_GCACHE_BUDGET"}
+
+
+def resolve_budget(name: str, measured_default: int) -> int:
+    """Per-generation value of an allocation-critical budget (bytes).
+
+    ``measured_default`` is the caller's module-level v5e constant; it is
+    returned unchanged on the measured v5e and on CPU/interpret backends
+    (budgets only shape compilation there), so in-process A/B overrides of
+    those constants (scripts/ab_gcache.py) keep working. Other TPU kinds
+    resolve through _GEN_BUDGETS / the env override, falling back to the
+    conservative v5e table value."""
+    import os
+
+    env = os.environ.get(_ENV_KEYS.get(name, ""))
+    if env:
+        return int(env)
+    kind = _device_kind()
+    if "tpu" not in kind or any(tag in kind for tag in MEASURED_KINDS):
+        return measured_default
+    for tag, budgets in _GEN_BUDGETS.items():
+        if tag in kind:
+            return budgets[name]
+    warn_if_untuned()
+    return _V5E_BUDGETS[name]
