@@ -285,6 +285,36 @@ def _backward_kernel(off_ref, count_ref, params_ref, fin_ref, gc_ref,
         [gacc, jnp.zeros((N_GRAD_FIELDS - 9, n_k), jnp.float32)], axis=0)
 
 
+def _moment_reduce(z, vx_row, vy, w_c, gc_rgb):
+    """Separable two-stage reduction of the 9 per-splat tile sums -> (9, 1).
+
+    The moments M1..M5 are sums of z * vx^a * vy^b with a + b <= 2. vx is
+    constant along sublanes and vy along lanes, so the y-summation needs
+    only the THREE z-family sublane chains (z, z*vy, z*vy^2); the lane
+    monomials vx^a then multiply the reduced (1, tw) rows before the one
+    batched cross-lane reduction. Mathematically identical to reducing
+    nine full planes -- the vx multiply hoists past the y-sum -- with the
+    usual <= 1 ulp reassociation (documented cross-program drift class).
+    Saves 3 of 9 sublane-reduce chains and 3 of 8 monomial plane products
+    per pair-step (round-5 dissection: the backward half of the fused
+    kernel is reduction-dominated).
+
+    Row order matches G_PX..G_OP: [M1, M2, M3, M4, M5, CR, CG, CB, M0].
+    """
+    gc_r, gc_g, gc_b = gc_rgb
+    zvy = z * vy
+    r0 = jnp.sum(z, axis=0, keepdims=True)             # (1, tw) sum_y z
+    r1 = jnp.sum(zvy, axis=0, keepdims=True)           # sum_y z*vy
+    r2 = jnp.sum(zvy * vy, axis=0, keepdims=True)      # sum_y z*vy^2
+    cr = jnp.sum(gc_r * w_c, axis=0, keepdims=True)
+    cg = jnp.sum(gc_g * w_c, axis=0, keepdims=True)
+    cb = jnp.sum(gc_b * w_c, axis=0, keepdims=True)
+    r0x = r0 * vx_row
+    stacked = jnp.concatenate(
+        [r0x, r1, r0x * vx_row, r1 * vx_row, r2, cr, cg, cb, r0], axis=0)
+    return jnp.sum(stacked, axis=1, keepdims=True)     # (9, 1)
+
+
 def _bwd_splat_step(params_ref, k, fx, fy, xx, yy, inside, cfg,
                     carry, gf, gc_rgb):
     """One splat's backward contribution on a tile: replay + 9 gradient sums.
@@ -342,19 +372,9 @@ def _bwd_splat_step(params_ref, k, fx, fy, xx, yy, inside, cfg,
     # alpha for mu, s, theta -- Form.pdf sections 8-10).
     z = dL_da * alpha
 
-    # Nine tile-wide sums, batched: sublane-reduce each, stack, ONE
-    # cross-lane reduction (cross-lane reduces are the expensive VPU op).
-    zx = z * vx
-    zy = z * vy
-    qs = [
-        zx, zy,                                         # M1, M2
-        zx * vx, zx * vy, zy * vy,                      # M3, M4, M5
-        gc_r * w_c, gc_g * w_c, gc_b * w_c,             # G_CR..G_CB
-        z,                                              # M0
-    ]
-    stacked = jnp.concatenate(
-        [jnp.sum(q, axis=0, keepdims=True) for q in qs], axis=0)
-    col = jnp.sum(stacked, axis=1, keepdims=True)                 # (9, 1)
+    # Nine tile-wide sums via the separable two-stage reduction (vx is a
+    # lane vector -- one row of the plane suffices for the x monomials).
+    col = _moment_reduce(z, vx[0:1, :], vy, w_c, gc_rgb)
 
     T = jnp.where(live, T * (jnp.float32(1.0) - alpha), T)
     return (ga, T), col
@@ -393,7 +413,7 @@ def _bwd_splat_step_cached(params_ref, k, fx, fy, cfg, carry, gf,
     m_G = gcache_ref[k]
     alpha = m_G * op                      # bitwise the forward's alpha
     vy = fy - py
-    vx = fx - px
+    vx_row = fx[0:1, :] - px              # x offsets: one lane row suffices
 
     w_c = alpha * T
     gcdot = gc_r * cr + gc_g * cg + gc_b * cb
@@ -409,17 +429,7 @@ def _bwd_splat_step_cached(params_ref, k, fx, fy, cfg, carry, gf,
     # sin, sx, sy) are not read at all here -- their combinations happen in
     # moments_to_grads outside the kernel. M0/op reconstructs the opacity
     # gradient sum dL/dalpha * m_G exactly up to one scalar divide.
-    zx = z * vx
-    zy = z * vy
-    qs = [
-        zx, zy,
-        zx * vx, zx * vy, zy * vy,
-        gc_r * w_c, gc_g * w_c, gc_b * w_c,
-        z,
-    ]
-    stacked = jnp.concatenate(
-        [jnp.sum(q, axis=0, keepdims=True) for q in qs], axis=0)
-    col = jnp.sum(stacked, axis=1, keepdims=True)                 # (9, 1)
+    col = _moment_reduce(z, vx_row, vy, w_c, gc_rgb)
 
     T = T * (jnp.float32(1.0) - alpha)
     return (ga, T), col
