@@ -17,16 +17,18 @@ Methodology (all ceilings MEASURED on this chip, not copied from datasheets):
 
 Hand op-count per pair-step (f32 vector ops on (8,128), from
 render_pallas._splat_terms/_fwd_one/_bwd_splat_step, post the round-4
-cotangent-weighted (ga) replay + MOMENT-FORM refactors: the backward
-emits raw z-moments, the per-splat gradient combinations run outside
-the kernel in moments_to_grads):
+cotangent-weighted (ga) replay + MOMENT-FORM refactors and the round-5
+SEPARABLE reduction (_moment_reduce: 3 z-family sublane chains + lane
+monomials on the reduced rows instead of 9 full plane reduces; the
+per-splat gradient combinations run outside the kernel in
+moments_to_grads):
   forward   ~40  (coverage 22, alpha/exp 8, composite 10)
-  backward  ~72  (re-derive coverage+alpha 30, ga replay + dL/dalpha 14,
-                  5 moment planes + 3 color 8, 9 sublane reduces ~14,
-                  one-hot accumulate ~4/lane-block)
+  backward  ~64  (re-derive coverage+alpha 30, ga replay + dL/dalpha 14,
+                  2 moment + 3 color plane products 5, 6 sublane reduces
+                  ~10, row monomials ~1, one-hot accumulate ~4/lane-block)
   backward (G-cache replay, _bwd_splat_step_cached: fused/resident
-  kernels when K fits GCACHE_BUDGET_BYTES) ~44 -- no re-derivation,
-  no mask ops, no geometry-field SMEM reads at all.
+  kernels when K fits GCACHE_BUDGET_BYTES) ~36 -- no re-derivation,
+  no mask ops, no geometry-field SMEM reads, no vx plane at all.
 Pass --cached to model the G-cache backward instead of the re-deriving
 one. Results land in BASELINE.md.
 """
@@ -127,8 +129,8 @@ def measure_vpu_fma():
 
 
 FWD_OPS = 40   # vector ops per pair-step, hand-counted (docstring)
-BWD_OPS = 72   # re-deriving backward (moment form, round 4)
-BWD_OPS_CACHED = 44  # G-cache backward (_bwd_splat_step_cached)
+BWD_OPS = 64   # re-deriving backward (moment form + separable reduce, r5)
+BWD_OPS_CACHED = 36  # G-cache backward (_bwd_splat_step_cached)
 
 
 def workload_scan_diff(name, w, h, n_splats, binning, image=None, iters=60):
