@@ -248,6 +248,40 @@ def main(argv=None) -> int:
     ck = Checkpointer(os.path.join(args.out, "checkpoints")) \
         if (args.checkpoint_every or args.resume) else None
 
+    if args.mesh:
+        from gs2d_tpu.parallel.mesh import make_mesh
+        from gs2d_tpu.parallel.sharded import fit_sharded, init_batched_state
+        data, tile, splat = (int(x) for x in args.mesh.split(","))
+        mesh = make_mesh(data=data, tile=tile, splat=splat)
+        state_b = None
+        if args.resume and ck is not None:
+            step, state_b = ck.restore_latest(init_batched_state(cfg, 1))
+            if step is None:
+                print(f"error: --resume found no checkpoint under "
+                      f"{os.path.join(args.out, 'checkpoints')}")
+                return 2
+            print(f"resumed from checkpoint step {step}")
+        ckpt_fn = (lambda s, it: ck.save(it, s, cfg)) \
+            if (ck is not None and args.checkpoint_every) else None
+        state_b, hist = fit_sharded(
+            refj[None], cfg, mesh, iterations=args.iters,
+            state=state_b, log_every=args.log_every,
+            renderer="pallas" if use_pallas else "scan",
+            ssim_lambda=args.ssim, scan_chunk=args.scan_chunk,
+            densify_every=args.densify_every,
+            checkpoint_every=args.checkpoint_every, checkpoint_fn=ckpt_fn)
+        for rec in hist:
+            logger.log(**rec)
+        img = render_pallas.render(
+            jax.tree.map(lambda x: x[0], state_b.params), cfg) \
+            if use_pallas else render_jax.render(
+                jax.tree.map(lambda x: x[0], state_b.params), cfg)
+        save_image(os.path.join(args.out, "render_final.png"),
+                   jax.device_get(img))
+        logger.close()
+        print(f"done (sharded over {mesh.shape})")
+        return 0
+
     state = init_train_state(cfg)
     start_iter = 0
     if args.resume and ck is not None:
@@ -260,22 +294,6 @@ def main(argv=None) -> int:
             return 2
         start_iter = step
         print(f"resumed from checkpoint step {step}")
-
-    if args.mesh:
-        from gs2d_tpu.parallel.mesh import make_mesh
-        from gs2d_tpu.parallel.sharded import fit_sharded
-        data, tile, splat = (int(x) for x in args.mesh.split(","))
-        mesh = make_mesh(data=data, tile=tile, splat=splat)
-        state_b, hist = fit_sharded(
-            refj[None], cfg, mesh, iterations=args.iters,
-            log_every=args.log_every,
-            renderer="pallas" if use_pallas else "scan",
-            ssim_lambda=args.ssim, scan_chunk=args.scan_chunk,
-            densify_every=args.densify_every)
-        for rec in hist:
-            logger.log(**rec)
-        print(f"done (sharded over {mesh.shape})")
-        return 0
 
     if args.recover:
         from gs2d_tpu.train.loop import fit_with_recovery

@@ -782,6 +782,8 @@ def fit_sharded(
     densify_cfg=None,
     ssim_lambda: float = 0.0,
     scan_chunk: int = 0,
+    checkpoint_every: int = 0,
+    checkpoint_fn=None,
 ):
     """Host driver for multi-device fitting over a batch of targets.
 
@@ -795,7 +797,12 @@ def fit_sharded(
     that size via ``make_fit_scan_sharded`` (no host dispatch per step --
     the production shape on a remote runtime; lazy rebinning per
     ``cfg.rebin_margin`` runs under the mesh). Logging/densify granularity
-    becomes the block (blocks are clipped to densify boundaries)."""
+    becomes the block (blocks are clipped to densify boundaries).
+
+    ``checkpoint_fn(state, done)`` is called every ``checkpoint_every``
+    completed iterations (block-granular under scan_chunk) with the live
+    sharded batched state -- the sharding-aware Checkpointer
+    (io/checkpoint.py) saves it per shard."""
     n_tile = mesh.shape[TILE_AXIS]
     if renderer == "pallas" and cfg.n_tiles_y % n_tile:
         # Round the tile grid so each device's band is whole tile rows
@@ -842,7 +849,8 @@ def fit_sharded(
         refs = jax.device_put(refs, shardings["ref"])
         return _fit_sharded_scanned(
             state, refs, fit_k, cfg, iterations, scan_chunk, log_every,
-            log_fn, densify_every, densify_fn)
+            log_fn, densify_every, densify_fn, checkpoint_every,
+            checkpoint_fn)
     step, shardings = make_sharded_train_step(cfg, mesh, combine=combine,
                                               renderer=renderer,
                                               overlap_chunks=overlap_chunks,
@@ -874,12 +882,16 @@ def fit_sharded(
                     log_fn(f"WARNING: binning capacity overflow at iter {it}:"
                            f" {int(jnp.asarray(aux.n_dropped))} splat-tile "
                            "pairs dropped; raise max_splats_per_tile")
+        if checkpoint_every and checkpoint_fn \
+                and (it + 1) % checkpoint_every == 0:
+            checkpoint_fn(state, it + 1)
     jax.block_until_ready(jax.tree.leaves(state)[0])
     return state, history
 
 
 def _fit_sharded_scanned(state, refs, fit_k, cfg, iterations, scan_chunk,
-                         log_every, log_fn, densify_every, densify_fn):
+                         log_every, log_fn, densify_every, densify_fn,
+                         checkpoint_every=0, checkpoint_fn=None):
     """fit_sharded body for scan_chunk > 1: on-device sharded scan blocks.
 
     Mirrors train.loop._fit_scanned: per-block fetch of the stacked aux,
@@ -941,5 +953,8 @@ def _fit_sharded_scanned(state, refs, fit_k, cfg, iterations, scan_chunk,
                 if log_fn:
                     log_fn(f"{it} itr, mse {mse}")
         done += n
+        if checkpoint_every and checkpoint_fn \
+                and done % checkpoint_every == 0:
+            checkpoint_fn(state, done)
     jax.block_until_ready(jax.tree.leaves(state)[0])
     return state, history

@@ -486,3 +486,37 @@ class TestScannedShardedFitter:
         assert int(live_mask(jax.tree.map(
             lambda x: x[0], state.params)).sum()) > 0
         assert hist and len(hist[-1]["mse"]) == 2
+
+
+class TestShardedCheckpointing:
+    def test_scan_chunk_checkpoint_resume_bitwise(self, tmp_path):
+        """fit_sharded(scan_chunk, checkpoint_every): a fit resumed from
+        its checkpoint continues the exact trajectory of an unbroken run
+        (the reference's resume contract, main.cpp:271-278, under the
+        mesh)."""
+        from gs2d_tpu.io.checkpoint import Checkpointer
+        from gs2d_tpu.parallel.sharded import init_batched_state
+
+        mesh = make_mesh(tile=2, splat=2)
+        cfg = cfg_for(min_throughput=0.0, max_splats_per_tile=64,
+                      binning="resident", rebin_margin=2.0)
+        ref = jnp.asarray(synthetic_target(H, W))
+        refs = jnp.broadcast_to(ref[None], (1, H, W, 3))
+
+        full, _ = fit_sharded(refs, cfg, mesh, iterations=6, log_fn=None,
+                              renderer="pallas", scan_chunk=3)
+
+        ck = Checkpointer(str(tmp_path / "ck"))
+        half, _ = fit_sharded(
+            refs, cfg, mesh, iterations=3, log_fn=None,
+            renderer="pallas", scan_chunk=3,
+            checkpoint_every=3, checkpoint_fn=lambda s, it: ck.save(it, s))
+        step, restored = ck.restore_latest(init_batched_state(cfg, 1))
+        assert step == 3
+        resumed, _ = fit_sharded(refs, cfg, mesh, iterations=3,
+                                 state=restored, log_fn=None,
+                                 renderer="pallas", scan_chunk=3)
+        for f in ("pos", "sx", "sy", "rot", "color", "opacity"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(resumed.params, f)),
+                np.asarray(getattr(full.params, f)), err_msg=f)
