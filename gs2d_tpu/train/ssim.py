@@ -22,10 +22,21 @@ import jax.numpy as jnp
 
 
 @functools.lru_cache(maxsize=8)
+def _gauss_kernel_np(window: int, sigma: float):
+    # NumPy on purpose: an lru_cache of jnp arrays built while TRACING
+    # would trap a tracer and poison every later trace with an
+    # UnexpectedTracerError (latent order-sensitivity: tests passed only
+    # when an eager call primed the cache first; found round 5 via the
+    # scanned sharded SSIM path).
+    import numpy as np
+
+    x = np.arange(window, dtype=np.float32) - (window - 1) / 2.0
+    k = np.exp(-0.5 * (x / np.float32(sigma)) ** 2)
+    return k / np.sum(k)
+
+
 def _gauss_kernel(window: int, sigma: float):
-    x = jnp.arange(window, dtype=jnp.float32) - (window - 1) / 2.0
-    k = jnp.exp(-0.5 * (x / jnp.float32(sigma)) ** 2)
-    return k / jnp.sum(k)
+    return jnp.asarray(_gauss_kernel_np(window, sigma))
 
 
 def _blur(img, window: int, sigma: float):

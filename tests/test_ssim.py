@@ -188,3 +188,32 @@ class TestSsimSharded:
 
     def test_pallas_tile_only(self):
         self._run({"data": 1, "tile": 4, "splat": 1}, "pallas")
+
+    def test_scanned_sharded_fitter_ssim(self):
+        """The on-device scanned sharded fitter with the mixed objective
+        (forces the split fwd/cot_fn/bwd structure even at one splat
+        shard) matches the per-step sharded driver."""
+        from gs2d_tpu.parallel.mesh import make_mesh
+        from gs2d_tpu.parallel.sharded import (
+            fit_sharded, init_batched_state, make_fit_scan_sharded,
+            pad_ref_batch)
+
+        cfg = SplatConfig(width=64, height=32, n_splats=32,
+                          min_throughput=0.0, max_splats_per_tile=32)
+        ref = jnp.asarray(synthetic_target(32, 64))
+        mesh = make_mesh(data=1, tile=2, splat=2)
+        want, _ = fit_sharded(ref[None], cfg, mesh, iterations=3,
+                              log_fn=None, renderer="pallas",
+                              ssim_lambda=0.2)
+        fit_k, sh = make_fit_scan_sharded(cfg, mesh, renderer="pallas",
+                                          ssim_lambda=0.2)
+        import jax as _jax
+        state = _jax.device_put(init_batched_state(cfg, 1), sh["state"])
+        refs_p = _jax.device_put(pad_ref_batch(ref[None], cfg), sh["ref"])
+        state, auxes = fit_k(state, refs_p, 3)
+        assert bool(np.asarray(auxes.all_finite).all())
+        for f in ("pos", "color", "opacity"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(state.params, f)),
+                np.asarray(getattr(want.params, f)),
+                rtol=1e-4, atol=1e-3, err_msg=f)
