@@ -222,3 +222,54 @@ def test_fused_kernel_matches_scan_fuzz(data):
         a, c = np.asarray(getattr(g1, f)), np.asarray(getattr(g, f))
         atol = 1e-4 * max(1.0, np.abs(a).max())
         np.testing.assert_allclose(c, a, atol=atol, err_msg=f)
+
+
+@settings(max_examples=20, deadline=None)
+@given(splats_strategy(10),
+       st.lists(st.tuples(
+           st.floats(min_value=-6.0, max_value=6.0, width=32,
+                     allow_nan=False),
+           st.floats(min_value=-6.0, max_value=6.0, width=32,
+                     allow_nan=False)), min_size=10, max_size=10),
+       st.floats(min_value=0.875, max_value=1.125, width=32,
+                 allow_nan=False))
+def test_lazy_rebin_tripwire_soundness_fuzz(data, drifts, scale_mul):
+    """SOUNDNESS of the lazy-rebinning tripwire: whenever
+    pairs_covered_by(p_new, p_old, margin) says the cache is valid, every
+    exact pair of p_new must actually be present in the margined binning
+    built from p_old -- otherwise lazy rebinning would silently render
+    with missing pairs. (The other direction -- tripping unnecessarily --
+    costs only a rebin and is exercised by the drift tests.) Fuzzes random
+    drifts both under and past the margin, including scale growth."""
+    n = 10
+    cfg = SplatConfig(width=64, height=48, n_splats=n, tile_h=16)
+    p_old = make_params(data, n)
+    drift = np.asarray(drifts, np.float32)
+    p_new = GaussianParams(
+        pos=p_old.pos + drift,
+        sx=np.clip(p_old.sx * np.float32(scale_mul), 1.0, 1024.0),
+        sy=np.clip(p_old.sy * np.float32(scale_mul), 1.0, 1024.0),
+        rot=p_old.rot, color=p_old.color, opacity=p_old.opacity)
+    margin = 2.0
+    covered = bool(jax.jit(
+        lambda a, b: tl.pairs_covered_by(a, b, cfg, margin))(p_new, p_old))
+    if not covered:
+        return  # tripping is always safe (forces a rebin)
+    got = jax.jit(lambda q: tl.bin_splats(
+        q, cfg, 64, max_tiles_per_splat=64, ids_only=True,
+        margin=margin))(p_old)
+    ids = np.asarray(got.ids)
+    count = np.asarray(got.count)
+    assert int(got.n_dropped) == 0
+    cached = {t: set(ids[t, : count[t]].tolist())
+              for t in range(ids.shape[0])}
+    exact = brute_force_incidence(p_new, cfg)
+    covered_px = brute_force_coverage(p_new, cfg)
+    # Every tile whose PIXELS p_new actually touches must hold the splat
+    # in the cached margined lists (bbox-only pairs may be culled).
+    for i, tiles in covered_px.items():
+        for t in tiles:
+            assert i in cached.get(t, set()), \
+                f"tripwire said covered but pair (splat {i}, tile {t}) " \
+                "is missing from the cached binning"
+    del exact
