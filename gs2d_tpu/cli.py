@@ -243,7 +243,7 @@ def main(argv=None) -> int:
     os.makedirs(args.out, exist_ok=True)
     logger = JsonlLogger(os.path.join(args.out, "metrics.jsonl"))
 
-    if len(refs) > 1:
+    if len(refs) > 1 and not args.mesh:
         return _fit_batch(args, cfg, refs, logger)
     ck = Checkpointer(os.path.join(args.out, "checkpoints")) \
         if (args.checkpoint_every or args.resume) else None
@@ -253,9 +253,17 @@ def main(argv=None) -> int:
         from gs2d_tpu.parallel.sharded import fit_sharded, init_batched_state
         data, tile, splat = (int(x) for x in args.mesh.split(","))
         mesh = make_mesh(data=data, tile=tile, splat=splat)
+        # Multi-image + mesh: the batch IS the data axis (each image an
+        # independent population; the configs[4] shape end-to-end).
+        refs_b = jnp.stack([jnp.asarray(r) for r in refs])
+        if refs_b.shape[0] % data:
+            print(f"error: batch of {refs_b.shape[0]} images does not "
+                  f"divide over data axis {data}")
+            return 2
         state_b = None
         if args.resume and ck is not None:
-            step, state_b = ck.restore_latest(init_batched_state(cfg, 1))
+            step, state_b = ck.restore_latest(
+                init_batched_state(cfg, refs_b.shape[0]))
             if step is None:
                 print(f"error: --resume found no checkpoint under "
                       f"{os.path.join(args.out, 'checkpoints')}")
@@ -264,7 +272,7 @@ def main(argv=None) -> int:
         ckpt_fn = (lambda s, it: ck.save(it, s, cfg)) \
             if (ck is not None and args.checkpoint_every) else None
         state_b, hist = fit_sharded(
-            refj[None], cfg, mesh, iterations=args.iters,
+            refs_b, cfg, mesh, iterations=args.iters,
             state=state_b, log_every=args.log_every,
             renderer="pallas" if use_pallas else "scan",
             ssim_lambda=args.ssim, scan_chunk=args.scan_chunk,
@@ -272,12 +280,12 @@ def main(argv=None) -> int:
             checkpoint_every=args.checkpoint_every, checkpoint_fn=ckpt_fn)
         for rec in hist:
             logger.log(**rec)
-        img = render_pallas.render(
-            jax.tree.map(lambda x: x[0], state_b.params), cfg) \
-            if use_pallas else render_jax.render(
-                jax.tree.map(lambda x: x[0], state_b.params), cfg)
-        save_image(os.path.join(args.out, "render_final.png"),
-                   jax.device_get(img))
+        render1 = render_pallas.render if use_pallas else render_jax.render
+        for i in range(refs_b.shape[0]):
+            img = render1(jax.tree.map(lambda x: x[i], state_b.params), cfg)
+            name = "render_final.png" if refs_b.shape[0] == 1 \
+                else f"render_final_{i:02d}.png"
+            save_image(os.path.join(args.out, name), jax.device_get(img))
         logger.close()
         print(f"done (sharded over {mesh.shape})")
         return 0

@@ -815,6 +815,13 @@ def fit_sharded(
     if renderer == "pallas":
         from gs2d_tpu.ops import render_pallas_flat as rpf
 
+        if cfg.rebin_margin < 0:
+            # --rebin-margin -1 = auto, as in the single-chip fit():
+            # pick the slack from image 0's measured pair inflation.
+            from gs2d_tpu.ops import tiles as _tl
+
+            p0 = jax.tree.map(lambda x: x[0], state.params)
+            cfg = _tl.tune_rebin_margin(p0, cfg)
         if rpf.use_flat(cfg) and (cfg.flat_capacity is None
                                   or cfg.flat_max_chunks is None):
             # Size the per-device band capacity from image 0's population

@@ -220,7 +220,15 @@ def test_fused_kernel_matches_scan_fuzz(data):
     np.testing.assert_allclose(np.asarray(C), np.asarray(C1), atol=3e-7)
     for f in ("pos", "sx", "sy", "rot", "color", "opacity"):
         a, c = np.asarray(getattr(g1, f)), np.asarray(getattr(g, f))
-        atol = 1e-4 * max(1.0, np.abs(a).max())
+        # Geometry gradients derive from the z-moments, whose round-5
+        # SEPARABLE reduction reassociates the tile sums (y-partials
+        # before the vx monomials). On extreme-anisotropy footprints the
+        # moment partials cancel ~1000:1, so the two f32 orders can
+        # differ ~1e-3 relative (hypothesis example: sx 41.5/sy 1.0,
+        # rot 3.0 -> rot grad 0.2859 vs 0.2857); color/opacity sums
+        # have no monomial stage and stay at the 1e-4 class.
+        tol = 1e-4 if f in ("color", "opacity") else 1e-3
+        atol = tol * max(1.0, np.abs(a).max())
         np.testing.assert_allclose(c, a, atol=atol, err_msg=f)
 
 
