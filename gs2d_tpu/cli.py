@@ -81,6 +81,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "steps until a splat escapes it (resident or flat "
                         "layout + --scan-chunk only; 0 = rebin every step; "
                         "-1 = auto from measured pair inflation)")
+    p.add_argument("--opacity-cull", type=float, default=0.0,
+                   nargs="?", const=1.0 / 256.0, metavar="ALPHA",
+                   help="opacity-adaptive footprint culling: skip "
+                        "(splat, tile) pairs whose every pixel alpha "
+                        "would fall below ALPHA (bare flag = 1/256, the "
+                        "reference's early-out constant). Lossy by < "
+                        "ALPHA/pixel/pair; pays on trained or reset "
+                        "opacities (op < 0.35)")
     p.add_argument("--mesh", default="",
                    help="data,tile,splat axis sizes for multi-device runs "
                         "(e.g. 1,2,4); empty = single device")
@@ -212,6 +220,7 @@ def main(argv=None) -> int:
         max_splats_per_tile=args.max_per_tile or None,
         binning=args.binning,
         rebin_margin=args.rebin_margin,
+        opacity_cull_alpha=args.opacity_cull,
     )
     if args.tile_h:
         cfg = cfg.replace(tile_h=args.tile_h)

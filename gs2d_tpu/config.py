@@ -115,6 +115,25 @@ class SplatConfig:
     # pair rows, train/loop.py); -1 on the CLI auto-tunes the margin from
     # measured pair inflation. dense/window always rebin.
     rebin_margin: float = 0.0
+    # Opacity-adaptive footprint culling (net-new): when > 0, a splat's
+    # BINNED footprint shrinks from the geometric 3-sigma ellipse to the
+    # region where it can still deposit alpha >= this threshold. alpha =
+    # op * G with G <= exp(-q/2) (the fast exp underestimates the true
+    # exp, so the bound is conservative), hence every pixel with alpha >=
+    # t satisfies q <= 2*ln(op/t). That is TIGHTER than the reference's
+    # fixed 3-sigma bound (q <= 9) exactly when op < e^4.5 * t (op < 0.35
+    # at the 1/256 default) -- i.e. on populations with trained or reset
+    # opacities, where it prunes (splat, tile) pairs whose every pixel
+    # contribution is below the threshold. Those pairs ARE composited by
+    # the reference (its per-pair alpha has no floor; only the cumulative
+    # T < 1/256 early-out, main.cpp:8), so this is lossy-by-epsilon:
+    # each dropped pair changes a pixel by < t pre-transmittance. Off by
+    # default; bitwise parity tests must keep it off. Margined
+    # (lazy-rebinning) binnings double the opacity headroom so cached
+    # pair sets survive opacity growth up to 2x between rebins
+    # (tiles._bbox_and_quad; the pairs_covered_by tripwire catches any
+    # escape exactly). 1/256 matches the early-out constant.
+    opacity_cull_alpha: float = 0.0
 
     # --- binning layout (net-new; see ops/tiles.py vs ops/tiles_flat.py) --
     # "dense": padded (n_tiles, K) lists + single fused kernel -- best at

@@ -106,11 +106,41 @@ def _bbox_and_quad(p: GaussianParams, cfg: SplatConfig, margin: float = 0.0):
     ``margin`` expands the bbox half-extents by that many pixels -- the
     lazy-rebinning slack (see pairs_covered_by): a margined binning stays a
     superset of the exact pair set while every splat's footprint drifts
-    less than the margin."""
+    less than the margin.
+
+    The quad tuple carries a per-splat effective Mahalanobis cutoff k2:
+    None (meaning cfg.cutoff_sq) by default; under opacity-adaptive
+    culling (cfg.opacity_cull_alpha > 0) a per-splat array shrunk to the
+    visibility bound 2*ln(op/alpha) -- see the config field's derivation.
+    Margined calls double the opacity headroom so lazy caches survive
+    opacity growth up to 2x between rebins; splats whose peak alpha is
+    below the threshold (k2 <= 0, including parked op==0 dead slots) bin
+    zero tiles via the offscreen flag. The default path traces EXACTLY
+    the pre-cull computation (k2 None, no extra ops), preserving both
+    the bitwise goldens and the persistent compilation cache."""
     s11, s12, s22 = geometry.cov_of(p.sx, p.sy, p.rot)
     a, b, d, det = geometry.inv_cov_of(s11, s12, s22)
-    hy = geometry.bbox_half_height(a, det, cfg.splat_bounds) + margin
-    hx = geometry.bbox_half_width(d, det, cfg.splat_bounds) + margin
+    k2 = None
+    invisible = False
+    if cfg.opacity_cull_alpha > 0.0:
+        headroom = 2.0 if margin > 0 else 1.0
+        k2 = jnp.minimum(
+            jnp.full(p.opacity.shape, jnp.float32(cfg.cutoff_sq)),
+            jnp.float32(2.0) * jnp.log(
+                jnp.maximum(p.opacity, jnp.float32(1e-30))
+                * jnp.float32(headroom / cfg.opacity_cull_alpha)))
+        invisible = k2 <= 0.0
+        # Half-extents scale with the cutoff radius (they are linear in
+        # ``bounds`` = sqrt(cutoff_sq), geometry.bbox_half_height).
+        shrink = jnp.sqrt(jnp.maximum(k2, 0.0)) \
+            / jnp.float32(cfg.splat_bounds)
+        hy = geometry.bbox_half_height(a, det, cfg.splat_bounds) \
+            * shrink + margin
+        hx = geometry.bbox_half_width(d, det, cfg.splat_bounds) \
+            * shrink + margin
+    else:
+        hy = geometry.bbox_half_height(a, det, cfg.splat_bounds) + margin
+        hx = geometry.bbox_half_width(d, det, cfg.splat_bounds) + margin
     px, py = p.pos[:, 0], p.pos[:, 1]
     # Pixel bounds use the same trunc semantics as the rasterizer loops.
     x0 = trunc_to_int(px - hx)
@@ -121,9 +151,11 @@ def _bbox_and_quad(p: GaussianParams, cfg: SplatConfig, margin: float = 0.0):
     tx1 = jnp.clip(x1 // cfg.tile_w, 0, cfg.n_tiles_x - 1)
     ty0 = jnp.clip(y0 // cfg.tile_h, 0, cfg.n_tiles_y - 1)
     ty1 = jnp.clip(y1 // cfg.tile_h, 0, cfg.n_tiles_y - 1)
-    # Fully off-screen splats contribute zero tiles.
+    # Fully off-screen (or below-threshold-everywhere) splats bin zero tiles.
     offscreen = (x1 < 0) | (x0 >= cfg.width) | (y1 < 0) | (y0 >= cfg.height)
-    return (tx0, tx1, ty0, ty1, offscreen), (px, py, a, b, d)
+    if k2 is not None:
+        offscreen = offscreen | invisible
+    return (tx0, tx1, ty0, ty1, offscreen), (px, py, a, b, d, k2)
 
 
 # Fp slack of the conservative ellipse-rect test (tile_may_touch): the
@@ -135,8 +167,13 @@ CULL_REL_MARGIN = 1e-5
 CULL_ABS_MARGIN = 1e-3
 
 
+def _col(v):
+    """Broadcast a per-splat column (None passes through: default k2)."""
+    return None if v is None else v[:, None]
+
+
 def tile_may_touch(px, py, a, b, d, tx, tyg, cfg: SplatConfig,
-                   margin: float = 0.0):
+                   margin: float = 0.0, k2=None):
     """Conservative per-(splat, tile) test: can the splat's Mahalanobis
     ellipse reach any pixel the kernels would walk on tile (tyg, tx)?
 
@@ -158,10 +195,13 @@ def tile_may_touch(px, py, a, b, d, tx, tyg, cfg: SplatConfig,
     Inputs broadcast elementwise; returns a bool array.
 
     ``margin`` expands the tile rect by that many pixels on every side
-    (lazy-rebinning slack, matching _bbox_and_quad's margin).
+    (lazy-rebinning slack, matching _bbox_and_quad's margin). ``k2``
+    overrides the Mahalanobis cutoff per splat (broadcasting with the
+    other inputs) -- the opacity-adaptive visibility bound from
+    _bbox_and_quad; None keeps the geometric cfg.cutoff_sq.
     """
     tw, th = cfg.tile_w, cfg.tile_h
-    k2 = jnp.float32(cfg.cutoff_sq)
+    k2 = jnp.float32(cfg.cutoff_sq) if k2 is None else k2
     rel = jnp.float32(CULL_REL_MARGIN)
     m = jnp.float32(margin)
     x_edge = (tx * tw).astype(jnp.float32)
@@ -212,7 +252,8 @@ def pairs_covered_by(p_now: GaussianParams, snap: GaussianParams,
     whose n_dropped tripwire reports the overflow (never silent).
     """
     cap = cfg.max_tiles_per_splat
-    (tx0, tx1, ty0, ty1, off), (px, py, a, b, d) = _bbox_and_quad(p_now, cfg)
+    (tx0, tx1, ty0, ty1, off), (px, py, a, b, d, qk2) = \
+        _bbox_and_quad(p_now, cfg)
     w_t = tx1 - tx0 + 1
     count_full = jnp.where(off, 0, w_t * (ty1 - ty0 + 1))
     count = jnp.minimum(count_full, cap)
@@ -225,16 +266,16 @@ def pairs_covered_by(p_now: GaussianParams, snap: GaussianParams,
     if cfg.exact_cull:
         live = live & tile_may_touch(
             px[:, None], py[:, None], a[:, None], b[:, None], d[:, None],
-            txg, tyg, cfg)
+            txg, tyg, cfg, k2=_col(qk2))
 
-    (mtx0, mtx1, mty0, mty1, moff), (bpx, bpy, ba, bb, bd) = \
+    (mtx0, mtx1, mty0, mty1, moff), (bpx, bpy, ba, bb, bd, bk2) = \
         _bbox_and_quad(snap, cfg, margin)
     inb = (txg >= mtx0[:, None]) & (txg <= mtx1[:, None]) \
         & (tyg >= mty0[:, None]) & (tyg <= mty1[:, None]) \
         & ~moff[:, None]
     member = inb & tile_may_touch(
         bpx[:, None], bpy[:, None], ba[:, None], bb[:, None], bd[:, None],
-        txg, tyg, cfg, margin)
+        txg, tyg, cfg, margin, k2=_col(bk2))
     ok = jnp.all(~live | member)
     return ok & jnp.all(count_full <= cap)
 
@@ -283,7 +324,7 @@ def bin_splats(
     n_tiles = band_rows * cfg.n_tiles_x
     if max_tiles_per_splat is None:
         max_tiles_per_splat = cfg.max_tiles_per_splat
-    (tx0, tx1, ty0, ty1, offscreen), (px, py, qa, qb, qd) = \
+    (tx0, tx1, ty0, ty1, offscreen), (px, py, qa, qb, qd, qk2) = \
         _bbox_and_quad(p, cfg, margin)
     # Shift to band-local tile rows and clip.
     band_row0 = jnp.asarray(band_row0, jnp.int32)
@@ -315,7 +356,8 @@ def bin_splats(
         live = live & tile_may_touch(
             px[:, None], py[:, None], qa[:, None], qb[:, None], qd[:, None],
             tx0[:, None] + local_x,
-            band_row0 + ty0[:, None] + local_y, cfg, margin)
+            band_row0 + ty0[:, None] + local_y, cfg, margin,
+            k2=_col(qk2))
 
     # Key packing: tile_id in the high bits, splat id (or segment-local id)
     # in the low bits, so a plain value sort yields per-tile runs already in

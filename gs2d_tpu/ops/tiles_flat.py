@@ -173,8 +173,8 @@ def bin_splats_flat(
     # a scatter+cumsum broadcast costs ~10 ms PER CHANNEL while a whole
     # (E, 12) row gather is ~16 ms -- the gather unit pays per row, not
     # per element, so above one channel the gather wins (the original
-    # per-channel-broadcast design predates the cull's 5 float channels).
-    (tx0, tx1, ty0, ty1, offscreen), (qpx, qpy, qa, qb, qd) = \
+    # per-channel-broadcast design predates the cull's 5-6 float channels).
+    (tx0, tx1, ty0, ty1, offscreen), (qpx, qpy, qa, qb, qd, qk2) = \
         tl._bbox_and_quad(p, cfg, margin)
     band_row0 = jnp.asarray(band_row0, jnp.int32)
     offscreen = offscreen | (ty1 < band_row0) \
@@ -200,6 +200,8 @@ def bin_splats_flat(
         bc = lambda v: jax.lax.bitcast_convert_type(
             v.astype(jnp.float32), jnp.int32)
         chans += [bc(qpx), bc(qpy), bc(qa), bc(qb), bc(qd)]
+        if qk2 is not None:
+            chans.append(bc(qk2))
     ch = jnp.stack(chans, axis=1)[owner]            # ONE (E, C) row gather
 
     rank = e - ch[:, 0]
@@ -215,7 +217,8 @@ def bin_splats_flat(
         fc = lambda i: jax.lax.bitcast_convert_type(ch[:, i], jnp.float32)
         live_e = live_e & tl.tile_may_touch(
             fc(4), fc(5), fc(6), fc(7), fc(8),
-            tx_e, band_row0 + ty_e, cfg, margin)
+            tx_e, band_row0 + ty_e, cfg, margin,
+            k2=fc(9) if qk2 is not None else None)
     tile_e = jnp.where(live_e, tile_e, jnp.int32(n_tiles))  # dead rows last
     splat_e = jnp.where(live_e, owner, -1)
 
