@@ -123,7 +123,7 @@ def _fit_batch(args, cfg, refs, logger) -> int:
     from gs2d_tpu.train.loop import init_train_state, \
         make_batched_train_step_fused, make_fit_scan_batched
 
-    for flag in ("mesh", "resume", "recover", "densify_every"):
+    for flag in ("mesh", "resume", "recover"):
         if getattr(args, flag):
             print(f"error: --{flag.replace('_', '-')} is not supported with "
                   "multi-image batch fitting")
@@ -132,6 +132,27 @@ def _fit_batch(args, cfg, refs, logger) -> int:
     p0 = init_train_state(cfg).params
     if cfg.rebin_margin < 0:
         cfg = tl.tune_rebin_margin(p0, cfg)
+    if args.densify_every:
+        # Assembled configs[4]: B images x adaptive density per image.
+        from gs2d_tpu.train.densify import fit_adaptive_batched
+
+        t0 = time.perf_counter()
+        state, hist = fit_adaptive_batched(
+            refs, cfg, iterations=args.iters,
+            densify_every=args.densify_every,
+            scan_chunk=max(args.scan_chunk, 1), log_every=args.log_every,
+            log_fn=print, opacity_reset_every=args.opacity_reset_every)
+        for rec in hist:
+            logger.log(**rec)
+        total = time.perf_counter() - t0
+        print(f"fit {b} images x {args.iters} adaptive iters in "
+              f"{total:.2f}s ({args.iters / total:.1f} batched iters/s)")
+        for i in range(b):
+            img = rp.render(jax.tree.map(lambda x: x[i], state.params), cfg)
+            save_image(os.path.join(args.out, f"render_final_{i:02d}.png"),
+                       jax.device_get(img))
+        logger.close()
+        return 0
     if rpf.use_flat(cfg):
         if cfg.flat_capacity is None or cfg.flat_max_chunks is None:
             # Statics sized on the (shared) init population; per-image

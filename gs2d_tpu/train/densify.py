@@ -166,6 +166,120 @@ def densify_and_prune_batched(state: TrainState, pos_grad_mag, cfg,
     )(state, pos_grad_mag)
 
 
+def fit_adaptive_batched(
+    refs,
+    cfg: SplatConfig,
+    iterations: int,
+    densify_every: int,
+    state: TrainState | None = None,
+    dcfg: DensifyConfig = DensifyConfig(),
+    scan_chunk: int = 50,
+    log_every: int = 0,
+    log_fn=print,
+    opacity_reset_every: int = 0,
+    opacity_reset_value: float = 0.3,
+):
+    """Batched multi-image adaptive-density fitting -- the assembled
+    north-star configs[4] shape on one chip: B independent images, each
+    with its own population, densify/prune per image, every binning
+    layout (flat included).
+
+    The scan-batched fitter (train/loop.py::make_fit_scan_batched with
+    the densify signal) accumulates each image's (N,) |dL/d pos| in the
+    scan carry; windows end in a vmapped densify_and_prune. Binning
+    statics are shared across the batch (SPMD-uniform shapes), so
+    re-tunes take the max need over images; per-image divergence past
+    the tuning margin trips n_dropped -- never silent -- and re-tunes.
+
+    Returns (state, history); history mse records are per-image lists.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gs2d_tpu.ops import render_pallas as rp
+    from gs2d_tpu.ops import render_pallas_flat as rpf
+    from gs2d_tpu.ops import tiles as tl
+    from gs2d_tpu.parallel.sharded import init_batched_state
+    from gs2d_tpu.train.loop import make_fit_scan_batched
+
+    b = len(refs)
+    if state is None:
+        state = init_batched_state(cfg, b)
+
+    def retune(cfg):
+        # Shared statics must cover EVERY image's population: tune per
+        # image, take the max (B is small).
+        imgs = [jax.tree.map(lambda x: x[i], state.params)
+                for i in range(b)]
+        if rpf.use_flat(cfg):
+            tuned = [rpf.tune_flat_config(p, cfg) for p in imgs]
+            return cfg.replace(
+                flat_capacity=max(t.flat_capacity for t in tuned),
+                flat_max_chunks=max(t.flat_max_chunks for t in tuned),
+                max_tiles_per_splat=max(
+                    t.max_tiles_per_splat for t in tuned))
+        tuned = [tl.tune_tile_capacity(p, cfg) for p in imgs]
+        return cfg.replace(
+            max_splats_per_tile=max(t.max_splats_per_tile for t in tuned),
+            max_tiles_per_splat=max(t.max_tiles_per_splat for t in tuned))
+
+    if (rpf.use_flat(cfg) and cfg.flat_capacity is None) \
+            or (not rpf.use_flat(cfg) and cfg.max_splats_per_tile is None):
+        cfg = retune(cfg)
+
+    def pad_refs(cfg):
+        return jnp.stack([rp.pad_ref_chw(jnp.asarray(r), cfg)
+                          for r in refs])
+
+    refsp = pad_refs(cfg)
+    fit_k = make_fit_scan_batched(cfg, True)
+    history = []
+    done = 0
+    chunk = max(1, scan_chunk)
+    while done < iterations:
+        window = min(densify_every, iterations - done)
+        accum = jnp.zeros((b, cfg.n_splats), jnp.float32)
+        drops = jnp.int32(0)
+        w_done = 0
+        while w_done < window:
+            n = min(chunk, window - w_done)
+            state, auxes = fit_k(state, refsp, n)
+            accum = accum + auxes.pos_grad_mag
+            drops = drops + jnp.sum(jnp.asarray(auxes.n_dropped))
+            if log_every:
+                mse = jax.device_get(auxes.mse)  # (n, B)
+                for j in range(n):
+                    it = done + w_done + j
+                    if it % log_every == 0 or it == iterations - 1:
+                        rec = {"iter": it,
+                               "mse": [float(x) for x in mse[j]]}
+                        history.append(rec)
+                        if log_fn:
+                            log_fn(f"{it} itr, mse " + " ".join(
+                                f"{x:.4f}" for x in mse[j]))
+            w_done += n
+        prev = done
+        done += window
+        if done < iterations:
+            state = densify_and_prune_batched(state, accum, cfg, dcfg,
+                                              seed=done)
+            if opacity_reset_every and cfg.optimize_opacity and \
+                    done // opacity_reset_every > prev // opacity_reset_every:
+                state = opacity_reset(state, cfg, opacity_reset_value)
+            window_drops = int(jax.device_get(drops))
+            if window_drops > 0:
+                if log_fn:
+                    log_fn(f"WARNING: binning capacity overflow: "
+                           f"{window_drops} splat-tile pairs dropped in "
+                           f"the window ending at {done}; re-tuning "
+                           f"capacities")
+                cfg = retune(cfg)
+                refsp = pad_refs(cfg)
+                fit_k = make_fit_scan_batched(cfg, True)
+    jax.block_until_ready(state.params.pos)
+    return state, history
+
+
 def opacity_reset(state: TrainState, cfg: SplatConfig,
                   value: float = 0.3) -> TrainState:
     """Periodic opacity reset (the 3DGS floater-control schedule).

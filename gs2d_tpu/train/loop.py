@@ -725,7 +725,7 @@ def make_batched_train_step_fused(cfg: SplatConfig):
     return train_step
 
 
-def make_fit_scan_batched(cfg: SplatConfig):
+def make_fit_scan_batched(cfg: SplatConfig, with_grad_mag: bool = False):
     """On-device multi-iteration batched fitter: ``lax.scan`` of the
     lax.map'd fused step (one device program fits B independent images for
     n_iters iterations -- the single-chip production shape for the
@@ -734,12 +734,18 @@ def make_fit_scan_batched(cfg: SplatConfig):
     ``cfg.rebin_margin`` > 0 carries a per-image lazy-rebinning cache in
     the scan state (resident/flat layouts): under ``lax.map`` the rebin
     ``lax.cond`` stays a real cond per image (vmap would degrade it to a
-    both-branches select)."""
+    both-branches select).
+
+    ``with_grad_mag`` sums each image's (N,) densification signal in the
+    scan carry (returned as the aux's (B, N) pos_grad_mag, matching
+    make_fit_scan_fused's contract) -- the batched adaptive-density
+    driver (train/densify.py::fit_adaptive_batched) feeds it to the
+    vmapped densify/prune."""
     if _needs_split(cfg):
         raise ValueError(
             "flat capacity exceeds the single-program budget; see "
             "make_batched_train_step_fused")
-    one_step = _fused_step_body(cfg)
+    one_step = _fused_step_body(cfg, with_grad_mag)
     cached = getattr(one_step, "cached", None)
 
     @functools.partial(jax.jit, static_argnames=("n_iters",))
@@ -747,9 +753,11 @@ def make_fit_scan_batched(cfg: SplatConfig):
         b = refs_chw.shape[0]
         caches0 = jax.lax.map(one_step.make_bin_cache, state.params) \
             if cached is not None else jnp.zeros((b,), jnp.int32)
+        accum0 = jnp.zeros((b, cfg.n_splats), jnp.float32) \
+            if with_grad_mag else 0
 
         def body(carry, _):
-            st, caches = carry
+            st, acc, caches = carry
 
             def img(t):
                 params, opt, ref_chw, cache = t
@@ -759,10 +767,12 @@ def make_fit_scan_batched(cfg: SplatConfig):
                 else:
                     new_st, aux = one_step(st_i, ref_chw)
                 return (new_st.params, new_st.opt, aux.mse, aux.n_dropped,
-                        aux.rebinned, cache)
+                        aux.rebinned, aux.pos_grad_mag, cache)
 
-            params, opt, mse, n_drop, reb, caches = jax.lax.map(
+            params, opt, mse, n_drop, reb, gm, caches = jax.lax.map(
                 img, (st.params, st.opt, refs_chw, caches))
+            if with_grad_mag:
+                acc = acc + gm
             finite = jnp.all(jnp.array(
                 [jnp.all(jnp.isfinite(leaf))
                  for leaf in jax.tree.leaves(params)]))
@@ -771,10 +781,12 @@ def make_fit_scan_batched(cfg: SplatConfig):
                 all_finite=jnp.broadcast_to(finite, mse.shape),
                 n_dropped=jnp.sum(n_drop),
                 rebinned=jnp.max(jnp.asarray(reb)))
-            return (TrainState(params=params, opt=opt), caches), aux
+            return (TrainState(params=params, opt=opt), acc, caches), aux
 
-        (state, _), auxes = jax.lax.scan(
-            body, (state, caches0), None, length=n_iters)
+        (state, accum, _), auxes = jax.lax.scan(
+            body, (state, accum0, caches0), None, length=n_iters)
+        if with_grad_mag:
+            auxes = auxes._replace(pos_grad_mag=accum)
         return state, auxes
 
     return fit_k

@@ -189,3 +189,39 @@ def test_fit_adaptive_with_opacity_reset():
                                log_fn=None)
     assert np.isfinite(hist[-1]["mse"])
     assert hist[-1]["mse"] < hist[0]["mse"] if len(hist) > 1 else True
+
+
+def test_fit_adaptive_batched_multi_image():
+    """Assembled configs[4] shape at test scale: B=2 images, independent
+    populations, densify/prune per image, flat layout + lazy rebinning.
+    Each image's mse must improve and the populations must diverge."""
+    from gs2d_tpu.train.densify import fit_adaptive_batched
+
+    cfg = SplatConfig(width=W, height=H, n_splats=32, binning="flat",
+                      rebin_margin=2.0)
+    refs = [synthetic_target(H, W, seed=0), synthetic_target(H, W, seed=3)]
+    state, hist = fit_adaptive_batched(
+        refs, cfg, iterations=30, densify_every=10, scan_chunk=5,
+        log_every=29, log_fn=None)
+    first, last = hist[0]["mse"], hist[-1]["mse"]
+    assert len(last) == 2 and all(np.isfinite(last))
+    assert last[0] < first[0] and last[1] < first[1]
+    # Different targets -> diverged populations after shared init.
+    pos = np.asarray(state.params.pos)
+    assert np.abs(pos[0] - pos[1]).max() > 0.5
+
+
+def test_fit_adaptive_batched_resident_with_reset():
+    """Batched adaptive path on the resident layout with opacity resets
+    (optimize_opacity on): runs, stays finite, refills capacity."""
+    from gs2d_tpu.train.densify import fit_adaptive_batched
+
+    cfg = SplatConfig(width=W, height=H, n_splats=32, binning="resident",
+                      max_splats_per_tile=32, optimize_opacity=True)
+    refs = [synthetic_target(H, W, seed=1), synthetic_target(H, W, seed=2)]
+    state, hist = fit_adaptive_batched(
+        refs, cfg, iterations=24, densify_every=8, scan_chunk=4,
+        log_every=23, log_fn=None, opacity_reset_every=8)
+    assert all(np.isfinite(hist[-1]["mse"]))
+    assert int(n_live(jax.tree.map(lambda x: x[0], state.params))) == 32
+    assert int(n_live(jax.tree.map(lambda x: x[1], state.params))) == 32
