@@ -123,10 +123,12 @@ def _fit_batch(args, cfg, refs, logger) -> int:
     from gs2d_tpu.train.loop import init_train_state, \
         make_batched_train_step_fused, make_fit_scan_batched
 
-    for flag in ("mesh", "resume", "recover"):
+    for flag in ("mesh", "resume", "recover", "checkpoint_every"):
         if getattr(args, flag):
             print(f"error: --{flag.replace('_', '-')} is not supported with "
-                  "multi-image batch fitting")
+                  "the single-chip multi-image batch fitter; use "
+                  "--mesh 1,1,1 (fit_sharded composes multi-image with "
+                  "checkpoint/resume and densify)")
             return 2
     b = len(refs)
     p0 = init_train_state(cfg).params
