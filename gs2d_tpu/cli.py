@@ -123,12 +123,16 @@ def _fit_batch(args, cfg, refs, logger) -> int:
     from gs2d_tpu.train.loop import init_train_state, \
         make_batched_train_step_fused, make_fit_scan_batched
 
-    for flag in ("mesh", "resume", "recover", "checkpoint_every"):
+    # Never silently drop a flag that changes the objective, the
+    # trajectory, or durability: the sharded driver composes all of these
+    # with multi-image fitting.
+    for flag in ("mesh", "resume", "recover", "checkpoint_every", "ssim",
+                 "reorder_every", "save_render_every"):
         if getattr(args, flag):
             print(f"error: --{flag.replace('_', '-')} is not supported with "
                   "the single-chip multi-image batch fitter; use "
                   "--mesh 1,1,1 (fit_sharded composes multi-image with "
-                  "checkpoint/resume and densify)")
+                  "checkpoint/resume, ssim, and densify)")
             return 2
     b = len(refs)
     p0 = init_train_state(cfg).params
@@ -283,6 +287,11 @@ def main(argv=None) -> int:
     if args.mesh:
         from gs2d_tpu.parallel.mesh import make_mesh
         from gs2d_tpu.parallel.sharded import fit_sharded, init_batched_state
+        for flag in ("reorder_every", "save_render_every", "recover"):
+            if getattr(args, flag):
+                print(f"error: --{flag.replace('_', '-')} is not supported "
+                      "on the mesh path")
+                return 2
         data, tile, splat = (int(x) for x in args.mesh.split(","))
         mesh = make_mesh(data=data, tile=tile, splat=splat)
         # Multi-image + mesh: the batch IS the data axis (each image an
